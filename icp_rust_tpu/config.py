@@ -1,0 +1,73 @@
+"""Frozen configuration for the ICP engine.
+
+The reference has no config system at all — every parameter is a hard-coded
+constant (SURVEY.md §2.5).  This dataclass is the single source of truth for
+those values; ``REFERENCE_CONFIG`` reproduces the reference exactly:
+
+- ``huber_k = 1.345``                 (reference src/lib.rs:32)
+- ``mad_scale = 1.482602218505602``   (reference src/stats.rs:42, 1/PPF(0.75))
+- ``inner_max_iter = 200``            (reference src/lib.rs:61)
+- ``inner_delta_sq_tol = 1e-6``       (reference src/lib.rs:60,71)
+- ``outer_iters = 20``                (reference examples/scan2d.rs:88)
+
+TPU-specific fields (no reference counterpart):
+
+- ``point_scale``: coordinates are divided by this before the solve and the
+  result is rescaled back.  The robust-GN ICP problem is exactly
+  scale-equivariant provided Huber's k is co-scaled (which we do), so this
+  changes nothing mathematically — it keeps J^T J well-conditioned in
+  float32 on data with mm-scale coordinates (scans/2d spans ±3000).
+- ``compute_dtype``: float32 on TPU, float64 for CPU parity testing.
+- ``det_rel_eps``: the reference's singularity guard is the exact test
+  ``det == 0.0`` (src/linalg.rs:18).  In float32 a relative threshold is
+  safer; 0.0 reproduces the reference's behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    # Robust loss (reference src/lib.rs:32, src/huber.rs:6-26).
+    huber_k: float = 1.345
+    # MAD -> sigma conversion, 1/PPF(0.75) (reference src/stats.rs:42).
+    mad_scale: float = 1.482602218505602
+
+    # Inner Gauss-Newton loop (reference src/lib.rs:59-84).
+    inner_max_iter: int = 200
+    inner_delta_sq_tol: float = 1e-6
+
+    # Outer ICP loop (reference src/lib.rs:105-130; examples use 20).
+    outer_iters: int = 20
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    compute_dtype: Any = jnp.float32
+    # Divide all coordinates by this before solving (exact equivariance).
+    point_scale: float = 1.0
+    # Relative singularity threshold for the 3x3 solve; 0.0 = reference's
+    # exact det==0 test.
+    det_rel_eps: float = 0.0
+    # Pad point clouds to multiples of this (TPU lane width).
+    pad_multiple: int = 128
+    # Correspondence search backend: "auto" | "xla" | "pallas".
+    nn_backend: str = "auto"
+    # Tile sizes for the Pallas NN kernel (queries x database).
+    nn_query_tile: int = 256
+    nn_dst_tile: int = 512
+
+    def with_(self, **kwargs) -> "ICPConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+# Exact reference parameters, float64 (reference is f64 throughout,
+# src/types.rs:4-5).
+REFERENCE_CONFIG = ICPConfig(compute_dtype=jnp.float64)
+
+# Default TPU preset: float32 compute; callers should set point_scale to the
+# data's coordinate scale (e.g. ~3000 for scans/2d).
+TPU_CONFIG = ICPConfig(compute_dtype=jnp.float32)
