@@ -1,0 +1,205 @@
+"""SE(2) robust Gauss-Newton alignment core, batched and masked.
+
+TPU-native counterpart of the solver core of reference src/lib.rs:
+
+- ``jacobian``: J = [R | R (-a_y, a_x)^T] in R^{2x3} per point
+  (src/lib.rs:176-184; derivation src/doc/jacobian.rs).
+- ``gauss_newton_update`` (src/lib.rs:191-216) and
+  ``weighted_gauss_newton_update`` (src/lib.rs:218-261): fold over points
+  accumulating J^T J and J^T r -> here a fused masked einsum reduction, one
+  XLA kernel for the whole (possibly batched) point set.
+- ``estimate_transform`` (src/lib.rs:59-84): inner IRLS loop, up to 200
+  iterations with the reference's three stop conditions *in the reference's
+  order* (singular/degenerate -> stop; |delta|^2 < 1e-6 checked BEFORE the
+  update is applied; Huber error evaluated at the PRE-update transform must
+  not exceed the previous iteration's).  Expressed as one
+  ``lax.while_loop`` whose carry includes a per-batch ``done`` mask, so a
+  whole batch of pairs shares a single loop (degenerate pairs freeze, the
+  loop exits when all are done — SURVEY.md §7.3).
+
+Everything takes a validity ``mask`` over the point axis; padded lanes are
+excluded from medians, sums and gates.  ``Option`` returns become ``ok``
+flags.
+
+Scale preconditioning: callers may divide coordinates by config.point_scale
+(and must then co-scale huber_k; the update is exactly scale-equivariant —
+see config.py).  The |delta|^2 threshold is applied in *physical* units by
+rescaling the translation components before the norm test.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from icp_rust_tpu.config import ICPConfig
+from icp_rust_tpu.geometry.transform2d import RigidTransform2
+from icp_rust_tpu.ops import huber, linalg, robust
+
+
+def residuals(transform: RigidTransform2, src: Array, dst: Array) -> Array:
+    """r_i = T(s_i) - d_i; (..., N, 2). Ref src/lib.rs:34-36."""
+    return transform.apply_points(src) - dst
+
+
+def error(
+    transform: RigidTransform2, src: Array, dst: Array, mask: Array
+) -> Array:
+    """Masked sum of squared residual norms. Ref src/lib.rs:38-43."""
+    r = residuals(transform, src, dst)
+    return jnp.sum(jnp.sum(r * r, axis=-1) * mask, axis=-1)
+
+
+def huber_error(
+    transform: RigidTransform2,
+    src: Array,
+    dst: Array,
+    mask: Array,
+    huber_k: float,
+) -> Array:
+    """Masked sum of rho(|r|^2, k). Ref src/lib.rs:45-50."""
+    r = residuals(transform, src, dst)
+    return jnp.sum(huber.rho(jnp.sum(r * r, axis=-1), huber_k) * mask, axis=-1)
+
+
+def jacobian(rot: Array, src: Array) -> Array:
+    """Per-point SE(2) Jacobian.
+
+    rot: (..., 2, 2); src: (..., N, 2) -> (..., N, 2, 3).
+    J = [ R | R @ (-y, x)^T ]  (ref src/lib.rs:176-184).
+    """
+    n = src.shape[-2]
+    arm = jnp.stack([-src[..., 1], src[..., 0]], axis=-1)  # (..., N, 2)
+    rot_arm = jnp.einsum("...ij,...nj->...ni", rot, arm)  # (..., N, 2)
+    rot_cols = jnp.broadcast_to(
+        rot[..., None, :, :], (*rot_arm.shape[:-1], 2, 2)
+    )
+    return jnp.concatenate([rot_cols, rot_arm[..., :, None]], axis=-1)
+
+
+def _count_gate(mask: Array) -> Array:
+    """check_input_size: n > 0 and n >= dim(=2). Ref src/lib.rs:186-189."""
+    n = jnp.sum(mask, axis=-1)
+    return n >= 2
+
+
+class GNUpdate(NamedTuple):
+    delta: Array  # (..., 3) twist update (zeros where not ok)
+    ok: Array     # (...,) bool
+
+
+def gauss_newton_update(
+    transform: RigidTransform2,
+    src: Array,
+    dst: Array,
+    mask: Array,
+    det_rel_eps: float = 0.0,
+) -> GNUpdate:
+    """Plain GN step. Ref src/lib.rs:191-216."""
+    mask = mask.astype(src.dtype)
+    j = jacobian(transform.rot, src)
+    r = residuals(transform, src, dst)
+    jtr = jnp.einsum("...nik,...ni,...n->...k", j, r, mask)
+    jtj = jnp.einsum("...nik,...nil,...n->...kl", j, j, mask)
+    x, ok_solve = linalg.solve3x3(jtj, jtr, det_rel_eps)
+    ok = ok_solve & _count_gate(mask)
+    delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
+    return GNUpdate(delta, ok)
+
+
+def weighted_gauss_newton_update(
+    transform: RigidTransform2,
+    src: Array,
+    dst: Array,
+    mask: Array,
+    huber_k: float,
+    det_rel_eps: float = 0.0,
+) -> GNUpdate:
+    """Robust IRLS GN step. Ref src/lib.rs:218-261.
+
+    Per point i and residual dimension j: skip the dimension if its robust
+    sigma is zero (src/lib.rs:245-247); weight w = drho(r_ij^2, k); scale
+    g = 1/sigma_j; accumulate w*g*J_j^T r_ij and w*g*J_j^T J_j over the
+    *rows* of J.  One fused einsum over (points x dims).
+    """
+    maskf = mask.astype(src.dtype)
+    r = residuals(transform, src, dst)  # (..., N, 2)
+    sigma, stats_valid = robust.calc_stddevs(r, mask)  # (..., 2), (...,)
+    dim_ok = sigma != 0.0
+    g = jnp.where(dim_ok, 1.0 / jnp.where(dim_ok, sigma, 1.0), 0.0)  # (..., 2)
+    w = huber.drho(r * r, huber_k)  # (..., N, 2)
+    u = w * g[..., None, :] * maskf[..., :, None]  # (..., N, 2)
+    j = jacobian(transform.rot, src)  # (..., N, 2, 3)
+    jtr = jnp.einsum("...ni,...nik,...ni->...k", u, j, r)
+    jtj = jnp.einsum("...ni,...nik,...nil->...kl", u, j, j)
+    x, ok_solve = linalg.solve3x3(jtj, jtr, det_rel_eps)
+    ok = ok_solve & _count_gate(mask) & stats_valid
+    delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
+    return GNUpdate(delta, ok)
+
+
+def _delta_sq_physical(delta: Array, point_scale: float) -> Array:
+    """|delta|^2 with translation components rescaled to physical units."""
+    s = point_scale
+    return (
+        (delta[..., 0] * s) ** 2
+        + (delta[..., 1] * s) ** 2
+        + delta[..., 2] ** 2
+    )
+
+
+def estimate_transform(
+    src: Array,
+    dst: Array,
+    mask: Array,
+    config: ICPConfig,
+) -> RigidTransform2:
+    """Inner alignment loop with FIXED correspondences. Ref src/lib.rs:59-84.
+
+    src/dst: (..., N, 2) in (possibly scaled) solver units; mask (..., N).
+    Starts from identity; left-composes Exp(delta).  Batched: the while_loop
+    carries a per-batch ``done`` mask and exits when all lanes are done.
+    """
+    dtype = src.dtype
+    batch = src.shape[:-2]
+    huber_k = config.huber_k / config.point_scale
+
+    t0 = RigidTransform2.identity(batch, dtype)
+    prev_err0 = jnp.full(batch, jnp.finfo(dtype).max, dtype=dtype)
+    done0 = jnp.zeros(batch, dtype=bool)
+
+    def cond(carry):
+        _, _, done, it = carry
+        return (it < config.inner_max_iter) & jnp.any(~done)
+
+    def body(carry):
+        t, prev_err, done, it = carry
+        upd = weighted_gauss_newton_update(
+            t, src, dst, mask, huber_k, config.det_rel_eps
+        )
+        # Stop 1: degenerate / singular (Option::None -> break).
+        stop = ~upd.ok
+        # Stop 2: |delta|^2 below threshold, BEFORE applying (lib.rs:71).
+        d2 = _delta_sq_physical(upd.delta, config.point_scale)
+        stop |= d2 < config.inner_delta_sq_tol
+        # Stop 3: Huber error at the PRE-update transform increased
+        # (lib.rs:75-79).
+        e = huber_error(t, src, dst, mask, huber_k)
+        stop |= e > prev_err
+        newly_done = done | stop
+        # A passing iteration applies delta AFTER the checks (lib.rs:81)
+        # and records e as prev_err.
+        t_step = RigidTransform2.from_twist(upd.delta).compose(t)
+        keep = newly_done
+        t_next = RigidTransform2(
+            rot=jnp.where(keep[..., None, None], t.rot, t_step.rot),
+            t=jnp.where(keep[..., None], t.t, t_step.t),
+        )
+        prev_next = jnp.where(keep, prev_err, e)
+        return (t_next, prev_next, newly_done, it + 1)
+
+    t, _, _, _ = jax.lax.while_loop(cond, body, (t0, prev_err0, done0, 0))
+    return t

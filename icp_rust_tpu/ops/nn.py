@@ -1,0 +1,129 @@
+"""Exact 1-nearest-neighbor correspondence search.
+
+TPU-native replacement for the reference's KdTree dependency
+(tier4/nearest_neighbor_rust; used at src/lib.rs:99,121,141,164 with
+leaf_size=1 and exact 1-NN semantics).  A KD-tree's pointer-chasing is the
+wrong shape for a vector machine; instead the database is swept in fixed
+tiles with a running (best-distance, best-index) carry — O(Q*M) but
+entirely dense VPU work that XLA/Mosaic pipeline from HBM at full
+bandwidth (SURVEY.md §2.2: "the single most important kernel of the
+build").
+
+Distances use the direct squared-difference form, NOT the
+|s|^2+|d|^2-2 s.d matmul trick: with D=2..3 the MXU win is nil and the
+cancellation error (~|p|^2 * eps) would corrupt argmin ordering in f32 on
+mm-scale scans.
+
+Tie-break: lowest database index (within a tile jnp.argmin takes the first
+occurrence; across tiles the carry update is strict '<', so earlier tiles
+win).  The reference KdTree's tie order is unknown, so cross-impl parity
+on ties is ATE-level, not bitwise (SURVEY.md §7.4).
+
+Backends:
+- ``nn_xla``: lax.scan over database tiles; works on any platform.
+- ``nn_pallas`` (ops/nn_pallas.py): hand-tiled VMEM kernel for TPU.
+``nearest_neighbor`` dispatches per config.nn_backend.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+class NNResult(NamedTuple):
+    index: Array    # (..., Q) int32 — argmin into the database axis
+    dist_sq: Array  # (..., Q) squared distance (+inf where db fully masked)
+
+
+def _pad_axis(x: Array, axis: int, multiple: int, value):
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def nn_xla(
+    query: Array,
+    db: Array,
+    db_mask: Array | None = None,
+    tile: int = 2048,
+) -> NNResult:
+    """Tiled brute-force exact 1-NN.
+
+    query: (..., Q, D); db: (..., M, D); db_mask: (..., M) or None.
+    Returns int32 indices into the M axis and squared distances.
+    """
+    dtype = query.dtype
+    q, d = query.shape[-2], query.shape[-1]
+    m = db.shape[-2]
+    if db_mask is None:
+        db_mask = jnp.ones(db.shape[:-1], dtype=bool)
+
+    tile = min(tile, max(m, 1))
+    db_p = _pad_axis(db, -2, tile, 0.0)
+    mask_p = _pad_axis(db_mask, -1, tile, False)
+    m_pad = db_p.shape[-2]
+    n_tiles = m_pad // tile
+
+    # (..., n_tiles, tile, D) / (..., n_tiles, tile); scan over axis 0 of a
+    # moved copy so the batch dims stay put.
+    db_tiles = jnp.moveaxis(
+        db_p.reshape(*db_p.shape[:-2], n_tiles, tile, d), -3, 0
+    )
+    mask_tiles = jnp.moveaxis(
+        mask_p.reshape(*mask_p.shape[:-1], n_tiles, tile), -2, 0
+    )
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    best_d0 = jnp.full((*query.shape[:-1],), jnp.inf, dtype=dtype)
+    best_i0 = jnp.zeros(query.shape[:-1], dtype=jnp.int32)
+
+    def step(carry, tile_in):
+        best_d, best_i = carry
+        tile_db, tile_mask, tile_idx = tile_in
+        # (..., Q, tile): direct squared differences, D unrolled.
+        dist = jnp.zeros((*query.shape[:-1], tile), dtype=dtype)
+        for k in range(d):
+            diff = query[..., :, k, None] - tile_db[..., None, :, k]
+            dist = dist + diff * diff
+        dist = jnp.where(tile_mask[..., None, :], dist, inf)
+        local_d = jnp.min(dist, axis=-1)
+        local_i = jnp.argmin(dist, axis=-1).astype(jnp.int32) + tile_idx
+        better = local_d < best_d  # strict: earlier tile wins ties
+        return (
+            jnp.where(better, local_d, best_d),
+            jnp.where(better, local_i, best_i),
+        ), None
+
+    tile_offsets = (jnp.arange(n_tiles, dtype=jnp.int32) * tile)
+    (best_d, best_i), _ = jax.lax.scan(
+        step, (best_d0, best_i0), (db_tiles, mask_tiles, tile_offsets)
+    )
+    return NNResult(index=best_i, dist_sq=best_d)
+
+
+def nearest_neighbor(
+    query: Array,
+    db: Array,
+    db_mask: Array | None = None,
+    backend: str = "auto",
+    tile: int = 2048,
+) -> NNResult:
+    """Dispatching entry point; see module docstring."""
+    if backend in ("auto", "pallas"):
+        try:
+            from icp_rust_tpu.ops import nn_pallas
+
+            if nn_pallas.available() or backend == "pallas":
+                return nn_pallas.nn_pallas(query, db, db_mask)
+        except ImportError:
+            if backend == "pallas":
+                raise
+    return nn_xla(query, db, db_mask, tile=tile)
