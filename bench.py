@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Headline benchmark: 3D ICP odometry frames/s per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.json metric "ICP frames/s per chip on scans/3d"): the
+reference examples/scan3d.rs flow — 28,800-point frames (75 packets x 384
+points, range-filtered), 20 outer ICP iterations each with exact 1-NN into
+the destination frame and a robust SE(2)-on-xy Gauss-Newton solve.  The 3D
+blob is absent from the reference checkout, so frames are synthesized in
+the reader's exact schema with a known ground-truth trajectory
+(icp_rust_tpu/utils/io.py) and accuracy is gated on ATE against it.
+
+Baseline: the reference publishes no numbers (BASELINE.md), so vs_baseline
+is the ratio to this machine's single-CPU frames/s on the identical
+workload, measured once by benchmarks/measure_baseline.py and cached in
+benchmarks/BASELINE_MEASURED.json (native C++ oracle when built; NumPy+
+cKDTree oracle otherwise).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(REPO, "benchmarks", "data", "scans3d.hdf5")
+BASELINE_FILE = os.path.join(REPO, "benchmarks", "BASELINE_MEASURED.json")
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "12"))
+PAD_TO = 28800  # 225 * 128 lanes
+
+
+def ensure_data():
+    from icp_rust_tpu.utils import io as scan_io
+
+    os.makedirs(os.path.dirname(DATA), exist_ok=True)
+    if not os.path.exists(DATA):
+        scan_io.synthesize_scans3d(DATA, n_frames=N_FRAMES, seed=0)
+    import h5py
+
+    with h5py.File(DATA, "r") as f:
+        traj = np.asarray(f.attrs["ground_truth_xytheta"])
+    frames = scan_io.load_scans3d_hdf5(DATA)
+    return frames[:N_FRAMES], traj[:N_FRAMES]
+
+
+def gt_local_path(traj):
+    c, s = np.cos(traj[0, 2]), np.sin(traj[0, 2])
+    return (traj[1:, :2] - traj[0, :2]) @ np.array([[c, -s], [s, c]])
+
+
+def run_tpu(frames):
+    import jax
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.models.odometry import run_odometry
+
+    cfg = ICPConfig(
+        compute_dtype=jnp.float32,
+        point_scale=1.0,  # meter-scale synthetic data is f32-friendly
+        det_rel_eps=1e-9,
+        nn_dst_tile=int(os.environ.get("BENCH_NN_TILE", "2048")),
+    )
+    # Warm-up / compile on the first two frames.
+    _ = run_odometry(frames[:2], cfg, pad_multiple=None)
+    t0 = time.perf_counter()
+    _, path = run_odometry(frames, cfg)
+    elapsed = time.perf_counter() - t0
+    fps = (len(frames) - 1) / elapsed
+    return fps, path
+
+
+def load_baseline():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    return None
+
+
+def main():
+    frames, traj = ensure_data()
+    fps, path = run_tpu(frames)
+
+    gt = gt_local_path(traj)
+    ate = float(np.sqrt(np.mean(np.sum((path - gt) ** 2, axis=1))))
+    accuracy_ok = ate < 0.05  # 5 cm on meter-scale frames
+
+    baseline = load_baseline()
+    base_fps = baseline["cpu_frames_per_s"] if baseline else None
+    vs = (fps / base_fps) if base_fps else -1.0
+
+    line = {
+        "metric": "icp3d_odometry_frames_per_s_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3),
+    }
+    print(json.dumps(line))
+    # Diagnostics on stderr only (the driver parses stdout).
+    print(
+        f"# ate_vs_ground_truth={ate:.4f} m (ok={accuracy_ok}) "
+        f"baseline={base_fps} frames/s "
+        f"({baseline.get('impl') if baseline else 'unmeasured'})",
+        file=sys.stderr,
+    )
+    if not accuracy_ok:
+        print("# WARNING: accuracy gate failed", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,11 +46,20 @@ def residuals(transform: RigidTransform2, src: Array, dst: Array) -> Array:
 
 
 def error(
-    transform: RigidTransform2, src: Array, dst: Array, mask: Array
+    transform: RigidTransform2,
+    src: Array,
+    dst: Array,
+    mask: Array,
+    axis_name: str | None = None,
 ) -> Array:
-    """Masked sum of squared residual norms. Ref src/lib.rs:38-43."""
+    """Masked sum of squared residual norms. Ref src/lib.rs:38-43.
+
+    With ``axis_name`` the sum is completed across a point-sharded mesh
+    axis (local partial + psum).
+    """
     r = residuals(transform, src, dst)
-    return jnp.sum(jnp.sum(r * r, axis=-1) * mask, axis=-1)
+    e = jnp.sum(jnp.sum(r * r, axis=-1) * mask, axis=-1)
+    return jax.lax.psum(e, axis_name) if axis_name else e
 
 
 def huber_error(
@@ -59,10 +68,12 @@ def huber_error(
     dst: Array,
     mask: Array,
     huber_k: float,
+    axis_name: str | None = None,
 ) -> Array:
     """Masked sum of rho(|r|^2, k). Ref src/lib.rs:45-50."""
     r = residuals(transform, src, dst)
-    return jnp.sum(huber.rho(jnp.sum(r * r, axis=-1), huber_k) * mask, axis=-1)
+    e = jnp.sum(huber.rho(jnp.sum(r * r, axis=-1), huber_k) * mask, axis=-1)
+    return jax.lax.psum(e, axis_name) if axis_name else e
 
 
 def jacobian(rot: Array, src: Array) -> Array:
@@ -80,9 +91,11 @@ def jacobian(rot: Array, src: Array) -> Array:
     return jnp.concatenate([rot_cols, rot_arm[..., :, None]], axis=-1)
 
 
-def _count_gate(mask: Array) -> Array:
+def _count_gate(mask: Array, axis_name: str | None = None) -> Array:
     """check_input_size: n > 0 and n >= dim(=2). Ref src/lib.rs:186-189."""
     n = jnp.sum(mask, axis=-1)
+    if axis_name:
+        n = jax.lax.psum(n, axis_name)
     return n >= 2
 
 
@@ -117,6 +130,7 @@ def weighted_gauss_newton_update(
     mask: Array,
     huber_k: float,
     det_rel_eps: float = 0.0,
+    axis_name: str | None = None,
 ) -> GNUpdate:
     """Robust IRLS GN step. Ref src/lib.rs:218-261.
 
@@ -127,7 +141,15 @@ def weighted_gauss_newton_update(
     """
     maskf = mask.astype(src.dtype)
     r = residuals(transform, src, dst)  # (..., N, 2)
-    sigma, stats_valid = robust.calc_stddevs(r, mask)  # (..., 2), (...,)
+    if axis_name:
+        # Robust sigma is a *global* order statistic: gather the (small)
+        # residual set across the point-sharded axis; every device computes
+        # the identical sigma (SURVEY.md §5 long-context analogue).
+        r_all = jax.lax.all_gather(r, axis_name, axis=-2, tiled=True)
+        mask_all = jax.lax.all_gather(mask, axis_name, axis=-1, tiled=True)
+        sigma, stats_valid = robust.calc_stddevs(r_all, mask_all)
+    else:
+        sigma, stats_valid = robust.calc_stddevs(r, mask)  # (..., 2), (...,)
     dim_ok = sigma != 0.0
     g = jnp.where(dim_ok, 1.0 / jnp.where(dim_ok, sigma, 1.0), 0.0)  # (..., 2)
     w = huber.drho(r * r, huber_k)  # (..., N, 2)
@@ -135,8 +157,11 @@ def weighted_gauss_newton_update(
     j = jacobian(transform.rot, src)  # (..., N, 2, 3)
     jtr = jnp.einsum("...ni,...nik,...ni->...k", u, j, r)
     jtj = jnp.einsum("...ni,...nik,...nil->...kl", u, j, j)
+    if axis_name:
+        jtr = jax.lax.psum(jtr, axis_name)
+        jtj = jax.lax.psum(jtj, axis_name)
     x, ok_solve = linalg.solve3x3(jtj, jtr, det_rel_eps)
-    ok = ok_solve & _count_gate(mask) & stats_valid
+    ok = ok_solve & _count_gate(mask, axis_name) & stats_valid
     delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
     return GNUpdate(delta, ok)
 
@@ -156,6 +181,7 @@ def estimate_transform(
     dst: Array,
     mask: Array,
     config: ICPConfig,
+    axis_name: str | None = None,
 ) -> RigidTransform2:
     """Inner alignment loop with FIXED correspondences. Ref src/lib.rs:59-84.
 
@@ -178,7 +204,7 @@ def estimate_transform(
     def body(carry):
         t, prev_err, done, it = carry
         upd = weighted_gauss_newton_update(
-            t, src, dst, mask, huber_k, config.det_rel_eps
+            t, src, dst, mask, huber_k, config.det_rel_eps, axis_name
         )
         # Stop 1: degenerate / singular (Option::None -> break).
         stop = ~upd.ok
@@ -187,7 +213,7 @@ def estimate_transform(
         stop |= d2 < config.inner_delta_sq_tol
         # Stop 3: Huber error at the PRE-update transform increased
         # (lib.rs:75-79).
-        e = huber_error(t, src, dst, mask, huber_k)
+        e = huber_error(t, src, dst, mask, huber_k, axis_name)
         stop |= e > prev_err
         newly_done = done | stop
         # A passing iteration applies delta AFTER the checks (lib.rs:81)

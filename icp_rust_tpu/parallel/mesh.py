@@ -1,0 +1,43 @@
+"""Device-mesh construction and multi-host initialization.
+
+No reference counterpart (single-threaded crate); this is the framework's
+runtime init path (SURVEY.md §3.5): process-group init for multi-host, mesh
+construction over ICI, and AOT warm-up hooks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host process-group init (jax.distributed).  No-op if already
+    initialized or single-process."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process run
+
+
+def make_mesh(
+    axis_names: Sequence[str] = ("dp", "sp"),
+    axis_sizes: Sequence[int] | None = None,
+    devices=None,
+) -> Mesh:
+    """Build a Mesh over the available devices.
+
+    Default: all devices on one "dp" x "sp" grid; if axis_sizes is None the
+    pair axis absorbs all devices and sp=1.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if axis_sizes is None:
+        axis_sizes = (n,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(axis_sizes)) != n:
+        raise ValueError(f"axis sizes {axis_sizes} != device count {n}")
+    dev_array = np.asarray(devices).reshape(*axis_sizes)
+    return Mesh(dev_array, axis_names=tuple(axis_names))

@@ -1,0 +1,71 @@
+"""Ring-pass exact 1-NN over a device-sharded destination cloud.
+
+The sequence-parallel correspondence kernel (SURVEY.md §2.3, §5): the
+destination cloud is sharded over the mesh axis; each step every device
+searches the resident shard, folds the result into a running
+(best-distance, best global index) carry, and ``ppermute``s the shard to
+its ring neighbor.  After axis_size steps every device has seen the whole
+cloud while only ever holding 1/n of it — structurally ring attention with
+an argmin carry instead of softmax accumulation, riding ICI neighbor links.
+
+Runs inside ``shard_map`` (see parallel/sharded.py and tests).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from icp_rust_tpu.ops.nn import NNResult, nn_xla
+
+
+def ring_nearest_neighbor(
+    query: Array,
+    db_shard: Array,
+    db_shard_mask: Array,
+    axis_name: str,
+    tile: int = 2048,
+) -> NNResult:
+    """query: (Q, D) local queries; db_shard: (M_local, D) this device's
+    destination shard; mask over it.  Returns global indices into the
+    unsharded (axis-concatenated) destination cloud.
+    """
+    n_dev = lax.axis_size(axis_name)
+    my = lax.axis_index(axis_name)
+    m_local = db_shard.shape[-2]
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    best_d = jnp.full(query.shape[:-1], jnp.inf, dtype=query.dtype)
+    best_i = jnp.zeros(query.shape[:-1], dtype=jnp.int32)
+
+    def fold(best_d, best_i, db, dbm, owner):
+        res = nn_xla(query, db, dbm, tile=tile)
+        gidx = res.index + owner * m_local
+        # Strict '<' keeps the earlier owner on exact ties; to reproduce the
+        # single-device lowest-global-index tie-break we additionally prefer
+        # the lower owner index on equality.
+        better = (res.dist_sq < best_d) | (
+            (res.dist_sq == best_d) & (gidx < best_i)
+        )
+        return (
+            jnp.where(better, res.dist_sq, best_d),
+            jnp.where(better, gidx, best_i),
+        )
+
+    def step(i, carry):
+        best_d, best_i, db, dbm = carry
+        # After i forward rotations, the resident shard originated at
+        # (my - i) mod n_dev.
+        owner = (my - i) % n_dev
+        best_d, best_i = fold(best_d, best_i, db, dbm, owner)
+        db = lax.ppermute(db, axis_name, perm)
+        dbm = lax.ppermute(dbm, axis_name, perm)
+        return (best_d, best_i, db, dbm)
+
+    best_d, best_i, db, dbm = lax.fori_loop(
+        0, n_dev - 1, step, (best_d, best_i, db_shard, db_shard_mask)
+    )
+    owner = (my - (n_dev - 1)) % n_dev
+    best_d, best_i = fold(best_d, best_i, db, dbm, owner)
+    return NNResult(index=best_i, dist_sq=best_d)

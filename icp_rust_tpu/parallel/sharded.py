@@ -1,0 +1,188 @@
+"""Sharded ICP: point-axis (sequence-parallel) and pair-axis (data-parallel).
+
+No reference counterpart (the crate is single-threaded; SURVEY.md §2.3).
+
+- ``sharded_estimate_transform`` / ``sharded_icp2d``: shard_map over a
+  point-sharded mesh axis.  Local J^T J / J^T r partials reduce with psum
+  (ops.align2d handles the collectives via ``axis_name``); correspondence
+  search over the sharded destination cloud is the ring ppermute pass
+  (parallel.ring_nn).  The returned transform is replicated.
+- ``batched_icp2d``: vmapped multi-pair ICP jitted with NamedSharding on
+  the pair axis — XLA partitions the whole program data-parallel
+  (BASELINE.json configs[2]).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from icp_rust_tpu.config import ICPConfig
+from icp_rust_tpu.geometry.transform2d import RigidTransform2
+from icp_rust_tpu.models.icp2d import icp2d
+from icp_rust_tpu.ops import align2d
+from icp_rust_tpu.parallel.ring_nn import ring_nearest_neighbor
+
+
+def sharded_estimate_transform(
+    src: Array,
+    dst: Array,
+    mask: Array,
+    config: ICPConfig,
+    mesh: Mesh,
+    point_axis: str = "sp",
+) -> RigidTransform2:
+    """Fixed-correspondence alignment with the point axis sharded over
+    ``point_axis``.  src/dst: (N, 2) global; N must divide by the axis size.
+    """
+
+    def local(src_l, dst_l, mask_l):
+        return align2d.estimate_transform(
+            src_l, dst_l, mask_l, config, axis_name=point_axis
+        )
+
+    spec = P(point_axis)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=P(),  # replicated transform
+        check_vma=False,
+    )
+    return fn(src, dst, mask)
+
+
+def sharded_icp2d(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    initial_transform: RigidTransform2,
+    config: ICPConfig,
+    mesh: Mesh,
+    point_axis: str = "sp",
+) -> RigidTransform2:
+    """Full 2D ICP with BOTH clouds point-sharded over ``point_axis``.
+
+    Queries stay local; destination shards rotate around the ring while
+    every chip keeps a running argmin; the GN reduction psums.  Semantics
+    match models.icp2d (same outer scan, same inner loop).
+    """
+    s = config.point_scale
+    dtype = config.compute_dtype
+
+    def local(src_l, dst_l, smask_l, dmask_l, t0: RigidTransform2):
+        src_s = src_l.astype(dtype) / s
+        dst_s = dst_l.astype(dtype) / s
+        t0s = RigidTransform2(t0.rot.astype(dtype), t0.t.astype(dtype) / s)
+
+        def outer(t, _):
+            src_t = t.apply_points(src_s)
+            match = ring_nearest_neighbor(
+                src_t, dst_s, dmask_l, point_axis, tile=config.nn_dst_tile
+            )
+            # Gather matched points from the sharded destination cloud:
+            # all_gather the (small) shard and index globally.
+            dst_all = jax.lax.all_gather(
+                dst_s, point_axis, axis=-2, tiled=True
+            )
+            matched = jnp.take_along_axis(
+                dst_all, match.index[..., None], axis=-2
+            )
+            dt = align2d.estimate_transform(
+                src_t, matched, smask_l, config, axis_name=point_axis
+            )
+            return dt.compose(t), None
+
+        t, _ = jax.lax.scan(outer, t0s, None, length=config.outer_iters)
+        return RigidTransform2(t.rot, t.t * s)
+
+    spec = P(point_axis)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(src, dst, src_mask, dst_mask, initial_transform)
+
+
+def dp_sp_icp2d(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    initial_transform: RigidTransform2,
+    config: ICPConfig,
+    mesh: Mesh,
+    pair_axis: str = "dp",
+    point_axis: str = "sp",
+) -> RigidTransform2:
+    """The full 2D training step over a 2D mesh: scan pairs data-parallel
+    over ``pair_axis`` AND each pair's point clouds sharded over
+    ``point_axis`` (ring NN + psum GN).  src/dst: (B, N, 2)."""
+    s = config.point_scale
+    dtype = config.compute_dtype
+
+    def local(src_l, dst_l, smask_l, dmask_l, t0: RigidTransform2):
+        src_s = src_l.astype(dtype) / s
+        dst_s = dst_l.astype(dtype) / s
+        t0s = RigidTransform2(t0.rot.astype(dtype), t0.t.astype(dtype) / s)
+
+        def outer(t, _):
+            src_t = t.apply_points(src_s)
+            match = ring_nearest_neighbor(
+                src_t, dst_s, dmask_l, point_axis, tile=config.nn_dst_tile
+            )
+            dst_all = jax.lax.all_gather(
+                dst_s, point_axis, axis=-2, tiled=True
+            )
+            matched = jnp.take_along_axis(
+                dst_all, match.index[..., None], axis=-2
+            )
+            dt = align2d.estimate_transform(
+                src_t, matched, smask_l, config, axis_name=point_axis
+            )
+            return dt.compose(t), None
+
+        t, _ = jax.lax.scan(outer, t0s, None, length=config.outer_iters)
+        return RigidTransform2(t.rot, t.t * s)
+
+    pt = P(pair_axis, point_axis)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pt, pt, pt, pt, P(pair_axis)),
+        out_specs=P(pair_axis),
+        check_vma=False,
+    )
+    return fn(src, dst, src_mask, dst_mask, initial_transform)
+
+
+def batched_icp2d(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    initial_transform: RigidTransform2,
+    config: ICPConfig,
+    mesh: Mesh | None = None,
+    pair_axis: str = "dp",
+):
+    """Multi-pair ICP: everything (including the initial transforms) carries
+    a leading pair axis (B, ...).
+
+    With a mesh, inputs/outputs are sharded over ``pair_axis`` and XLA
+    partitions the vmapped program; without one it is a plain vmap.
+    """
+    fn = jax.vmap(partial(icp2d, config=config))
+    if mesh is None:
+        return fn(src, dst, src_mask, dst_mask, initial_transform)
+    shard = NamedSharding(mesh, P(pair_axis))
+    jitted = jax.jit(fn, in_shardings=shard, out_shardings=shard)
+    return jitted(src, dst, src_mask, dst_mask, initial_transform)
