@@ -58,18 +58,21 @@ def run_tpu(frames):
     import jax.numpy as jnp
 
     from icp_rust_tpu.config import ICPConfig
-    from icp_rust_tpu.models.odometry import run_odometry
+    from icp_rust_tpu.models.odometry import run_odometry_device
+    from icp_rust_tpu.utils import io as scan_io
 
     cfg = ICPConfig(
         compute_dtype=jnp.float32,
         point_scale=1.0,  # meter-scale synthetic data is f32-friendly
         det_rel_eps=1e-9,
         nn_dst_tile=int(os.environ.get("BENCH_NN_TILE", "2048")),
+        nn_backend=os.environ.get("BENCH_NN_BACKEND", "auto"),
     )
-    # Warm-up / compile on the first two frames.
-    _ = run_odometry(frames[:2], cfg, pad_multiple=None)
+    pts, mask = scan_io.pad_points(frames, pad_to=PAD_TO)
+    # Warm-up / compile.
+    _ = run_odometry_device(pts[:2], mask[:2], cfg)
     t0 = time.perf_counter()
-    _, path = run_odometry(frames, cfg)
+    _, path = run_odometry_device(pts, mask, cfg)
     elapsed = time.perf_counter() - t0
     fps = (len(frames) - 1) / elapsed
     return fps, path

@@ -56,6 +56,9 @@ class ICPConfig:
     pad_multiple: int = 128
     # Correspondence search backend: "auto" | "xla" | "pallas".
     nn_backend: str = "auto"
+    # Distance evaluation: "direct" (exact VPU differences) | "mxu"
+    # (matmul identity, HIGHEST precision).  See ops/nn.py.
+    nn_method: str = "direct"
     # Tile sizes for the Pallas NN kernel (queries x database).
     nn_query_tile: int = 256
     nn_dst_tile: int = 512

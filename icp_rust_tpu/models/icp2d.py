@@ -72,7 +72,7 @@ def icp2d(
         src_t = t.apply_points(src)
         match = nearest_neighbor(
             src_t, dst, dst_mask, backend=config.nn_backend,
-            tile=config.nn_dst_tile,
+            tile=config.nn_dst_tile, method=config.nn_method,
         )
         matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
         dt = align2d.estimate_transform(src_t, matched, src_mask, config)
@@ -111,7 +111,7 @@ def icp3d_planar(
         src_t = transform_xy(t, src)  # (..., N, 3)
         match = nearest_neighbor(
             src_t, dst, dst_mask, backend=config.nn_backend,
-            tile=config.nn_dst_tile,
+            tile=config.nn_dst_tile, method=config.nn_method,
         )
         matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
         dt = align2d.estimate_transform(

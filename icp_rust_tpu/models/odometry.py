@@ -58,6 +58,51 @@ def run_odometry(
     return transforms, np.asarray(path)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _odometry_step(src, dst, src_mask, dst_mask, t, config: ICPConfig):
+    """Single warm-started frame alignment + trajectory point (module-level
+    so the jit cache persists across calls; a per-call closure would
+    recompile every time, which is catastrophic with remote compilation)."""
+    driver = icp2d if src.shape[-1] == 2 else icp3d_planar
+    t = driver(src, dst, src_mask, dst_mask, t, config)
+    return t, t.inverse().t
+
+
+def run_odometry_device(
+    frames: np.ndarray,
+    masks: np.ndarray,
+    config: ICPConfig = ICPConfig(),
+):
+    """Device-resident sequence odometry: all frames are uploaded once and
+    every per-frame step runs from device-resident arrays, so no
+    host->device data motion happens inside the loop (the TPU-native shape
+    of examples/scan2d.rs's loop).  Dispatch is async; results are fetched
+    once at the end.
+
+    Note: a single lax.scan over the frame axis compiles but was measured
+    ~25x slower at 28k points/frame than this dispatch loop (XLA schedules
+    the nested scan/while far worse); the per-step dispatch overhead is
+    ~1 ms, negligible against a frame's compute.
+
+    frames: (F, N, D) padded; masks: (F, N).  Frame 0 is the fixed src;
+    returns (transforms list, path (F-1, 2) numpy).
+    """
+    pts = jnp.asarray(frames, config.compute_dtype)
+    msk = jnp.asarray(masks)
+    src, src_mask = pts[0], msk[0]
+    t = RigidTransform2.identity(dtype=config.compute_dtype)
+    transforms, path = [], []
+    for i in range(1, pts.shape[0]):
+        t, pos = _odometry_step(src, pts[i], src_mask, msk[i], t, config)
+        transforms.append(t)
+        path.append(pos)
+    path = np.asarray(jnp.stack(path))
+    return transforms, path
+
+
 def ate_rmse(path_a: np.ndarray, path_b: np.ndarray) -> float:
     """Absolute trajectory error (RMSE over per-frame position error)."""
     d = np.linalg.norm(path_a - path_b, axis=-1)

@@ -54,11 +54,22 @@ def nn_xla(
     db: Array,
     db_mask: Array | None = None,
     tile: int = 2048,
+    method: str = "direct",
 ) -> NNResult:
     """Tiled brute-force exact 1-NN.
 
     query: (..., Q, D); db: (..., M, D); db_mask: (..., M) or None.
     Returns int32 indices into the M axis and squared distances.
+
+    method:
+      - "direct": per-coordinate squared differences on the VPU.  No
+        cancellation beyond input rounding — the parity-exact choice.
+      - "mxu": |q|^2 + |d|^2 - 2 q.d with the cross term as an MXU matmul
+        (f32 accumulate).  ~an order of magnitude faster at >=10k points,
+        at the cost of ~|p|^2*eps absolute distance error, which can flip
+        argmin between near-tied neighbors; for ICP that is equivalent to
+        one extra point-spacing of correspondence noise.  Center/scale
+        data first (config.point_scale) to keep |p| = O(1).
     """
     dtype = query.dtype
     q, d = query.shape[-2], query.shape[-1]
@@ -84,15 +95,30 @@ def nn_xla(
     inf = jnp.asarray(jnp.inf, dtype)
     best_d0 = jnp.full((*query.shape[:-1],), jnp.inf, dtype=dtype)
     best_i0 = jnp.zeros(query.shape[:-1], dtype=jnp.int32)
+    if method == "mxu":
+        q_sq = jnp.sum(query * query, axis=-1)  # (..., Q)
 
     def step(carry, tile_in):
         best_d, best_i = carry
         tile_db, tile_mask, tile_idx = tile_in
-        # (..., Q, tile): direct squared differences, D unrolled.
-        dist = jnp.zeros((*query.shape[:-1], tile), dtype=dtype)
-        for k in range(d):
-            diff = query[..., :, k, None] - tile_db[..., None, :, k]
-            dist = dist + diff * diff
+        if method == "mxu":
+            # (..., Q, tile) = |q|^2 + |d|^2 - 2 q.d — cross term on the MXU.
+            db_sq = jnp.sum(tile_db * tile_db, axis=-1)  # (..., tile)
+            # HIGHEST: 6-pass bf16 on the MXU (~f32 accuracy).  The default
+            # 1-pass bf16 truncates coordinates to 8 mantissa bits, which
+            # scrambles argmin (measured 45% index agreement at 28k pts).
+            cross = jnp.einsum(
+                "...qk,...tk->...qt", query, tile_db,
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            dist = q_sq[..., :, None] + db_sq[..., None, :] - 2.0 * cross
+        else:
+            # (..., Q, tile): direct squared differences, D unrolled.
+            dist = jnp.zeros((*query.shape[:-1], tile), dtype=dtype)
+            for k in range(d):
+                diff = query[..., :, k, None] - tile_db[..., None, :, k]
+                dist = dist + diff * diff
         dist = jnp.where(tile_mask[..., None, :], dist, inf)
         local_d = jnp.min(dist, axis=-1)
         local_i = jnp.argmin(dist, axis=-1).astype(jnp.int32) + tile_idx
@@ -115,9 +141,10 @@ def nearest_neighbor(
     db_mask: Array | None = None,
     backend: str = "auto",
     tile: int = 2048,
+    method: str = "direct",
 ) -> NNResult:
     """Dispatching entry point; see module docstring."""
-    if backend in ("auto", "pallas"):
+    if backend == "pallas" or (backend == "auto" and method == "direct"):
         try:
             from icp_rust_tpu.ops import nn_pallas
 
@@ -126,4 +153,4 @@ def nearest_neighbor(
         except ImportError:
             if backend == "pallas":
                 raise
-    return nn_xla(query, db, db_mask, tile=tile)
+    return nn_xla(query, db, db_mask, tile=tile, method=method)
