@@ -1,0 +1,72 @@
+"""SE(3) point-to-plane ICP with estimated normals (BASELINE configs[1]).
+
+No reference counterpart — the reference's 3D mode is planar SE(2)
+(src/lib.rs:133-174).  Flow mirrors the reference driver shape: fixed
+``outer_iters`` outer iterations, each transforming the source cloud,
+finding exact 1-NN correspondences in the destination, and running the
+robust inner loop — here against the destination's tangent planes
+(normals precomputed once per call via k-NN PCA).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from icp_rust_tpu.config import ICPConfig
+from icp_rust_tpu.geometry.transform3d import RigidTransform3
+from icp_rust_tpu.ops import align3d
+from icp_rust_tpu.ops.nn import nearest_neighbor
+from icp_rust_tpu.ops.normals import estimate_normals
+
+
+def icp_point_to_plane(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    initial_transform: RigidTransform3,
+    config: ICPConfig = ICPConfig(),
+    normals_k: int = 8,
+    dst_normals: Array | None = None,
+) -> RigidTransform3:
+    """src/dst: (..., N|M, 3).  Returns the SE(3) transform taking src to
+    dst.  Pass ``dst_normals`` to reuse precomputed normals (e.g. for a
+    persistent submap)."""
+    s = config.point_scale
+    dtype = config.compute_dtype
+    src = src.astype(dtype) / s
+    dst = dst.astype(dtype) / s
+    t0 = RigidTransform3(
+        initial_transform.rot.astype(dtype),
+        initial_transform.t.astype(dtype) / s,
+    )
+
+    if dst_normals is None:
+        normals, n_valid = estimate_normals(
+            dst, dst_mask, k=normals_k, tile=config.nn_dst_tile
+        )
+    else:
+        normals = dst_normals.astype(dtype)
+        n_valid = dst_mask
+
+    def outer(t, _):
+        src_t = t.apply_points(src)
+        match = nearest_neighbor(
+            src_t, dst, dst_mask, backend=config.nn_backend,
+            tile=config.nn_dst_tile, method=config.nn_method,
+        )
+        matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
+        matched_n = jnp.take_along_axis(
+            normals, match.index[..., None], axis=-2
+        )
+        matched_ok = jnp.take_along_axis(n_valid, match.index, axis=-1)
+        pair_mask = src_mask & matched_ok
+        dt = align3d.estimate_transform_p2l(
+            src_t, matched, matched_n, pair_mask, config
+        )
+        return dt.compose(t), None
+
+    t, _ = jax.lax.scan(outer, t0, None, length=config.outer_iters)
+    return RigidTransform3(t.rot, t.t * s)

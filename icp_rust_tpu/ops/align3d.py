@@ -1,0 +1,143 @@
+"""SE(3) robust point-to-plane Gauss-Newton alignment, batched and masked.
+
+No reference counterpart (the reference solves SE(2) point-to-point only);
+this is the build's 3D config (BASELINE.json configs[1]).  The robust
+machinery deliberately mirrors the reference's 2D design so behavior is
+predictable across configs:
+
+- scalar residual r_i = n_i . (T(s_i) - d_i) per correspondence;
+- robust sigma = 1.4826 * MAD over the residuals (the D=1 analogue of
+  reference src/stats.rs:49-60), dimension skipped if sigma == 0;
+- IRLS weight w = drho(r^2, huber_k) (reference src/huber.rs:17-26);
+- inner loop with the reference's stop conditions in the same order
+  (src/lib.rs:59-84), left-composed Exp(delta).
+
+Jacobian (left-multiplicative convention, T <- Exp(delta) o T, twist
+(v, w)): with p = T(s), d r/d v = n and d r/d w = p x n.
+The 6x6 normal equations are solved with an LU solve; ok-gating mirrors
+the 3x3 path (non-finite or singular -> no-op update).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from icp_rust_tpu.config import ICPConfig
+from icp_rust_tpu.geometry.transform3d import RigidTransform3
+from icp_rust_tpu.ops import huber, robust
+
+
+class GNUpdate6(NamedTuple):
+    delta: Array  # (..., 6)
+    ok: Array     # (...,)
+
+
+def plane_residuals(
+    transform: RigidTransform3, src: Array, dst: Array, normals: Array
+) -> Array:
+    """n_i . (T(s_i) - d_i); (..., N)."""
+    p = transform.apply_points(src)
+    return jnp.sum((p - dst) * normals, axis=-1)
+
+
+def huber_error_p2l(
+    transform: RigidTransform3,
+    src: Array,
+    dst: Array,
+    normals: Array,
+    mask: Array,
+    huber_k: float,
+) -> Array:
+    r = plane_residuals(transform, src, dst, normals)
+    return jnp.sum(huber.rho(r * r, huber_k) * mask, axis=-1)
+
+
+def weighted_gn_update_p2l(
+    transform: RigidTransform3,
+    src: Array,
+    dst: Array,
+    normals: Array,
+    mask: Array,
+    huber_k: float,
+) -> GNUpdate6:
+    maskf = mask.astype(src.dtype)
+    r = plane_residuals(transform, src, dst, normals)  # (..., N)
+    sigma, stats_valid = robust.masked_stddev(r, mask)  # (...,), (...,)
+    dim_ok = sigma != 0.0
+    g = jnp.where(dim_ok, 1.0 / jnp.where(dim_ok, sigma, 1.0), 0.0)
+    w = huber.drho(r * r, huber_k)  # (..., N)
+    u = w * g[..., None] * maskf  # (..., N)
+
+    p = transform.apply_points(src)  # (..., N, 3)
+    j_rot = jnp.cross(p, normals)  # (..., N, 3) = p x n
+    j = jnp.concatenate([normals, j_rot], axis=-1)  # (..., N, 6)
+    jtr = jnp.einsum("...n,...nk,...n->...k", u, j, r)
+    jtj = jnp.einsum("...n,...nk,...nl->...kl", u, j, j)
+
+    n_ok = jnp.sum(mask, axis=-1) >= 6
+    # LU solve; gate on finiteness and non-singularity via the residual of
+    # the solve (cheap and robust in f32).
+    eye = jnp.eye(6, dtype=src.dtype)
+    jtj_safe = jnp.where(n_ok[..., None, None], jtj, eye)
+    x = jnp.linalg.solve(jtj_safe, jtr[..., None])[..., 0]
+    finite = jnp.all(jnp.isfinite(x), axis=-1)
+    # Reject solutions of (near-)singular systems: residual check.
+    back = jnp.einsum("...kl,...l->...k", jtj_safe, x)
+    resid_ok = jnp.all(
+        jnp.abs(back - jtr)
+        <= 1e-3 * jnp.maximum(jnp.abs(jtr), 1e-30) + 1e-20,
+        axis=-1,
+    )
+    ok = n_ok & stats_valid & finite & resid_ok & dim_ok
+    delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
+    return GNUpdate6(delta, ok)
+
+
+def estimate_transform_p2l(
+    src: Array,
+    dst: Array,
+    normals: Array,
+    mask: Array,
+    config: ICPConfig,
+) -> RigidTransform3:
+    """Inner IRLS loop, fixed correspondences; reference loop structure
+    (src/lib.rs:59-84) on SE(3)."""
+    dtype = src.dtype
+    batch = src.shape[:-2]
+    huber_k = config.huber_k / config.point_scale
+
+    t0 = RigidTransform3.identity(batch, dtype)
+    prev0 = jnp.full(batch, jnp.finfo(dtype).max, dtype=dtype)
+    done0 = jnp.zeros(batch, dtype=bool)
+
+    def cond(carry):
+        _, _, done, it = carry
+        return (it < config.inner_max_iter) & jnp.any(~done)
+
+    def body(carry):
+        t, prev, done, it = carry
+        upd = weighted_gn_update_p2l(t, src, dst, normals, mask, huber_k)
+        d2 = jnp.sum(upd.delta * upd.delta, axis=-1)
+        # Physical-units threshold: translation components rescale.
+        s2 = config.point_scale**2
+        d2_phys = (
+            jnp.sum(upd.delta[..., :3] ** 2, axis=-1) * s2
+            + jnp.sum(upd.delta[..., 3:] ** 2, axis=-1)
+        )
+        stop = ~upd.ok | (d2_phys < config.inner_delta_sq_tol)
+        e = huber_error_p2l(t, src, dst, normals, mask, huber_k)
+        stop |= e > prev
+        newly = done | stop
+        t_step = RigidTransform3.from_twist(upd.delta).compose(t)
+        t_next = RigidTransform3(
+            rot=jnp.where(newly[..., None, None], t.rot, t_step.rot),
+            t=jnp.where(newly[..., None], t.t, t_step.t),
+        )
+        return (t_next, jnp.where(newly, prev, e), newly, it + 1)
+
+    t, _, _, _ = jax.lax.while_loop(cond, body, (t0, prev0, done0, 0))
+    return t

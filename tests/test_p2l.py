@@ -1,0 +1,133 @@
+"""Point-to-plane SE(3) ICP tests: normals, 6-DOF GN, full driver."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from icp_rust_tpu.config import REFERENCE_CONFIG
+from icp_rust_tpu.geometry.transform3d import RigidTransform3
+from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
+from icp_rust_tpu.ops import align3d
+from icp_rust_tpu.ops.normals import estimate_normals, knn_xla
+
+F64 = jnp.float64
+CFG = REFERENCE_CONFIG
+
+
+def _box_cloud(n_per_face=200, seed=0):
+    """Points on three orthogonal faces of a box (well-constrained for
+    point-to-plane in all 6 DOF)."""
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(0, 2, (n_per_face, 2))
+    fx = np.column_stack([np.zeros(n_per_face), u])          # x=0 plane
+    fy = np.column_stack([u[:, :1], np.zeros(n_per_face), u[:, 1:]])
+    fz = np.column_stack([u, np.zeros(n_per_face)])          # z=0 plane
+    return np.concatenate([fx, fy, fz], axis=0)
+
+
+def test_knn_matches_numpy():
+    rng = np.random.default_rng(1)
+    q = rng.uniform(-1, 1, (50, 3))
+    db = rng.uniform(-1, 1, (200, 3))
+    d, i = knn_xla(jnp.asarray(q, F64), jnp.asarray(db, F64), k=5, tile=64)
+    full = ((q[:, None, :] - db[None, :, :]) ** 2).sum(-1)
+    ref_i = np.argsort(full, axis=1)[:, :5]
+    ref_d = np.take_along_axis(full, ref_i, axis=1)
+    np.testing.assert_allclose(np.asarray(d), ref_d, atol=1e-12)
+    np.testing.assert_array_equal(np.sort(np.asarray(i), 1), np.sort(ref_i, 1))
+
+
+def test_normals_on_plane():
+    rng = np.random.default_rng(2)
+    u = rng.uniform(-1, 1, (300, 2))
+    pts = np.column_stack([u[:, 0], u[:, 1], np.full(300, 2.0)])  # z=2 plane
+    n, valid = estimate_normals(
+        jnp.asarray(pts, F64), jnp.ones(300, bool), k=8
+    )
+    assert bool(valid.all())
+    nz = np.abs(np.asarray(n)[:, 2])
+    np.testing.assert_allclose(nz, 1.0, atol=1e-6)
+    # Oriented toward the origin (z=0 side -> n_z < 0).
+    assert (np.asarray(n)[:, 2] < 0).all()
+
+
+def test_p2l_gn_update_reduces_error():
+    pts = _box_cloud()
+    t_true = RigidTransform3.from_twist(
+        jnp.asarray([0.02, -0.01, 0.015, 0.01, -0.02, 0.008], F64)
+    )
+    src = jnp.asarray(pts, F64)
+    dst = t_true.apply_points(src)
+    normals, nv = estimate_normals(dst, jnp.ones(len(pts), bool), k=8)
+    mask = jnp.ones(len(pts), bool) & nv
+    t0 = RigidTransform3.identity(dtype=F64)
+    upd = align3d.weighted_gn_update_p2l(
+        t0, src, dst, normals, mask, CFG.huber_k
+    )
+    assert bool(upd.ok)
+    t1 = RigidTransform3.from_twist(upd.delta).compose(t0)
+    e0 = float(align3d.huber_error_p2l(t0, src, dst, normals, mask, CFG.huber_k))
+    e1 = float(align3d.huber_error_p2l(t1, src, dst, normals, mask, CFG.huber_k))
+    assert e1 < e0 * 0.05
+
+
+def test_p2l_degenerate_single_plane_not_ok():
+    # One plane constrains only 3 DOF -> J^T J singular -> not ok.
+    rng = np.random.default_rng(3)
+    u = rng.uniform(-1, 1, (100, 2))
+    pts = np.column_stack([u, np.zeros(100)])
+    src = jnp.asarray(pts, F64)
+    dst = src + jnp.asarray([0.0, 0.0, 0.01], F64)
+    normals = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], F64), (100, 3))
+    upd = align3d.weighted_gn_update_p2l(
+        RigidTransform3.identity(dtype=F64), src, dst, normals,
+        jnp.ones(100, bool), CFG.huber_k,
+    )
+    assert not bool(upd.ok)
+
+
+def test_icp_p2l_recovers_transform():
+    pts = _box_cloud()
+    rng = np.random.default_rng(4)
+    t_true = RigidTransform3.from_twist(
+        jnp.asarray([0.03, -0.02, 0.025, 0.015, -0.01, 0.02], F64)
+    )
+    src = jnp.asarray(pts, F64)
+    dst = t_true.apply_points(src) + jnp.asarray(
+        rng.normal(0, 5e-4, pts.shape), F64
+    )
+    n = len(pts)
+    t_pred = icp_point_to_plane(
+        src, dst, jnp.ones(n, bool), jnp.ones(n, bool),
+        RigidTransform3.identity(dtype=F64), CFG,
+    )
+    pred = np.asarray(t_pred.apply_points(src))
+    err = np.linalg.norm(pred - np.asarray(t_true.apply_points(src)), axis=1)
+    assert err.max() < 5e-3, err.max()
+
+
+def test_icp_p2l_outlier_robustness():
+    pts = _box_cloud()
+    rng = np.random.default_rng(5)
+    t_true = RigidTransform3.from_twist(
+        jnp.asarray([0.02, 0.01, -0.015, 0.01, 0.005, -0.01], F64)
+    )
+    src_np = pts.copy()
+    dst = np.array(
+        RigidTransform3.from_twist(
+            jnp.asarray([0.02, 0.01, -0.015, 0.01, 0.005, -0.01], F64)
+        ).apply_points(jnp.asarray(pts, F64))
+    )
+    # Corrupt 5% of the destination points grossly.
+    bad = rng.choice(len(pts), len(pts) // 20, replace=False)
+    dst[bad] += rng.normal(0, 1.0, (len(bad), 3))
+    n = len(pts)
+    t_pred = icp_point_to_plane(
+        jnp.asarray(src_np, F64), jnp.asarray(dst, F64),
+        jnp.ones(n, bool), jnp.ones(n, bool),
+        RigidTransform3.identity(dtype=F64), CFG,
+    )
+    good = np.setdiff1d(np.arange(n), bad)
+    pred = np.asarray(t_pred.apply_points(jnp.asarray(src_np, F64)))[good]
+    want = np.asarray(t_true.apply_points(jnp.asarray(src_np, F64)))[good]
+    err = np.linalg.norm(pred - want, axis=1)
+    assert np.median(err) < 5e-3, np.median(err)

@@ -1,0 +1,87 @@
+"""Voxel downsampling and scan-to-submap odometry tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from icp_rust_tpu.config import REFERENCE_CONFIG
+from icp_rust_tpu.models.submap import run_submap_odometry
+from icp_rust_tpu.ops.voxel import voxel_downsample
+
+F64 = jnp.float64
+
+
+def test_voxel_centroids_small_case():
+    pts = jnp.asarray(
+        [
+            [0.01, 0.01],   # cell (0,0)
+            [0.03, 0.02],   # cell (0,0)
+            [0.12, 0.01],   # cell (1,0)
+            [0.55, 0.58],   # cell (5,5)
+            [99.0, 99.0],   # masked out
+        ],
+        F64,
+    )
+    mask = jnp.asarray([True, True, True, True, False])
+    out = voxel_downsample(pts, mask, voxel_size=0.1, capacity=8)
+    got = np.asarray(out.points)[np.asarray(out.mask)]
+    want = np.array([[0.02, 0.015], [0.12, 0.01], [0.55, 0.58]])
+    # Sort rows for comparison (voxel order is cell-id order).
+    got = got[np.lexsort(got.T)]
+    want = want[np.lexsort(want.T)]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    assert int(out.mask.sum()) == 3
+
+
+def test_voxel_reduces_density_and_respects_capacity():
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(0, 1, (5000, 3)), F64)
+    mask = jnp.ones(5000, bool)
+    out = voxel_downsample(pts, mask, voxel_size=0.2, capacity=256)
+    n = int(out.mask.sum())
+    assert 0 < n <= 5**3 + 60  # ~125 occupied voxels
+    # Overflow capacity: only `capacity` voxels survive.
+    out_small = voxel_downsample(pts, mask, voxel_size=0.01, capacity=64)
+    assert int(out_small.mask.sum()) == 64
+
+
+def _synthetic_2d_sequence(n_frames=8, n_pts=400, seed=0):
+    """Wall-world scans from a slowly moving pose; returns frames (sensor
+    coords) + ground-truth poses (x, y, theta)."""
+    rng = np.random.default_rng(seed)
+    walls = []
+    for _ in range(8):
+        a = rng.uniform(-8, 8, 2)
+        ang = rng.uniform(0, np.pi)
+        walls.append((a, np.array([np.cos(ang), np.sin(ang)]),
+                      rng.uniform(3, 8)))
+    poses = np.column_stack([
+        0.06 * np.arange(n_frames),
+        0.04 * np.arange(n_frames),
+        0.015 * np.arange(n_frames),
+    ])
+    frames = []
+    for x, y, th in poses:
+        widx = rng.integers(0, len(walls), n_pts)
+        ts = rng.uniform(0, 1, n_pts)
+        pw = np.stack([walls[i][0] + walls[i][1] * t * walls[i][2]
+                       for i, t in zip(widx, ts)])
+        c, s = np.cos(th), np.sin(th)
+        local = (pw - [x, y]) @ np.array([[c, -s], [s, c]])
+        local += rng.normal(0, 0.003, local.shape)
+        frames.append(local)
+    return frames, poses
+
+
+def test_submap_odometry_tracks_ground_truth():
+    frames, poses = _synthetic_2d_sequence()
+    pts = np.stack(frames)
+    masks = np.ones(pts.shape[:2], bool)
+    cfg = REFERENCE_CONFIG
+    _, path = run_submap_odometry(
+        pts, masks, cfg, voxel_size=0.03, capacity=4096
+    )
+    # Sensor position in map(=frame-0) coords.
+    c, s = np.cos(poses[0, 2]), np.sin(poses[0, 2])
+    gt = (poses[1:, :2] - poses[0, :2]) @ np.array([[c, -s], [s, c]])
+    err = np.linalg.norm(path - gt, axis=1)
+    assert err.max() < 0.02, err
