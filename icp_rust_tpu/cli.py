@@ -1,0 +1,207 @@
+"""Command-line interface — the engine's counterpart of the reference's
+example binaries (examples/scan2d.rs, examples/scan3d.rs), headless, with
+metrics/checkpoints/trajectory export instead of a live window.
+
+Usage (from the repo root):
+    python -m icp_rust_tpu.cli odometry2d --scans /root/reference/scans/2d \
+        [--frames N] [--compare-oracle] [--f32] [--metrics run.jsonl]
+        [--checkpoint ckpt.npz --every 10] [--plot traj.png] [--submap]
+    python -m icp_rust_tpu.cli odometry3d --hdf5 scans.hdf5 [--synthesize N]
+    python -m icp_rust_tpu.cli slam --scans DIR [--frames N]  (odometry +
+        loop closures + pose-graph optimization)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _config(args):
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.config import ICPConfig
+
+    if args.f32:
+        return ICPConfig(
+            compute_dtype=jnp.float32,
+            point_scale=float(args.point_scale),
+            det_rel_eps=1e-9,
+        )
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    return ICPConfig(compute_dtype=jnp.float64)
+
+
+def _plot(path_xy: np.ndarray, out: str, extra=None):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping plot", file=sys.stderr)
+        return
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot(path_xy[:, 0], path_xy[:, 1], "-o", ms=2, label="trajectory")
+    if extra is not None:
+        ax.plot(extra[:, 0], extra[:, 1], "-x", ms=2, label="oracle")
+        ax.legend()
+    ax.set_aspect("equal")
+    fig.savefig(out, dpi=120)
+    print(f"wrote {out}")
+
+
+def cmd_odometry2d(args):
+    from icp_rust_tpu.models.odometry import ate_rmse, run_odometry_device
+    from icp_rust_tpu.models.submap import run_submap_odometry
+    from icp_rust_tpu.utils import io as scan_io
+    from icp_rust_tpu.utils.checkpoint import SequenceCheckpointer
+    from icp_rust_tpu.utils.metrics import MetricsLogger
+
+    cfg = _config(args)
+    frames = scan_io.load_scan2d_sequence(args.scans, limit=args.frames)
+    # The reference example starts at 001.txt (examples/scan2d.rs:69-71).
+    frames = frames[1:]
+    pts, mask = scan_io.pad_points(frames)
+
+    log = MetricsLogger(args.metrics)
+    ckpt = (
+        SequenceCheckpointer(args.checkpoint, args.every)
+        if args.checkpoint
+        else None
+    )
+    log.start_frame()
+    if args.submap:
+        _, path = run_submap_odometry(
+            pts, mask, cfg, voxel_size=args.voxel_size,
+            capacity=args.map_capacity,
+        )
+    else:
+        _, path = run_odometry_device(pts, mask, cfg)
+    log.end_frame(len(frames) - 1)
+    if ckpt:
+        ckpt.maybe_save(len(frames) - 1, {"path": path}) or ckpt.maybe_save(
+            0, {"path": path}
+        )
+
+    summary = {
+        "frames": len(frames) - 1,
+        "seconds": log.records[-1].seconds,
+        "frames_per_s": (len(frames) - 1) / log.records[-1].seconds,
+        "path_end": path[-1].tolist(),
+    }
+    if args.compare_oracle:
+        from icp_rust_tpu.utils import oracle_np
+
+        try:
+            from icp_rust_tpu.native import oracle as native
+
+            _, path_o = native.run_odometry2d(frames)
+            summary["oracle"] = "native_cpp"
+        except Exception:
+            _, path_o = oracle_np.run_odometry2d(frames)
+            summary["oracle"] = "numpy"
+        summary["ate_rmse_vs_oracle"] = ate_rmse(path, path_o)
+        if args.plot:
+            _plot(path, args.plot, extra=path_o)
+    elif args.plot:
+        _plot(path, args.plot)
+    print(json.dumps(summary))
+
+
+def cmd_odometry3d(args):
+    from icp_rust_tpu.models.odometry import run_odometry_device
+    from icp_rust_tpu.utils import io as scan_io
+    from icp_rust_tpu.utils.metrics import MetricsLogger
+
+    cfg = _config(args)
+    if args.synthesize:
+        gt = scan_io.synthesize_scans3d(args.hdf5, n_frames=args.synthesize)
+        print(f"synthesized {args.synthesize} frames -> {args.hdf5}",
+              file=sys.stderr)
+    frames = scan_io.load_scans3d_hdf5(args.hdf5)
+    if args.frames:
+        frames = frames[: args.frames]
+    pts, mask = scan_io.pad_points(frames)
+    log = MetricsLogger(args.metrics)
+    log.start_frame()
+    _, path = run_odometry_device(pts, mask, cfg)
+    rec = log.end_frame(len(frames) - 1)
+    summary = {
+        "frames": len(frames) - 1,
+        "seconds": rec.seconds,
+        "frames_per_s": (len(frames) - 1) / rec.seconds,
+        "path_end": path[-1].tolist(),
+    }
+    if args.plot:
+        _plot(path, args.plot)
+    print(json.dumps(summary))
+
+
+def cmd_slam(args):
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.models.slam import run_slam2d
+    from icp_rust_tpu.utils import io as scan_io
+
+    cfg = _config(args)
+    frames = scan_io.load_scan2d_sequence(args.scans, limit=args.frames)[1:]
+    result = run_slam2d(frames, cfg, loop_radius=args.loop_radius,
+                        min_gap=args.loop_gap)
+    summary = {
+        "frames": len(frames) - 1,
+        "loop_closures": int(result.n_loop_closures),
+        "graph_error_before": float(result.error_before),
+        "graph_error_after": float(result.error_after),
+    }
+    if args.plot:
+        _plot(result.optimized_path, args.plot, extra=result.odometry_path)
+    print(json.dumps(summary))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="icp_rust_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--frames", type=int, default=None)
+        p.add_argument("--f32", action="store_true")
+        p.add_argument("--point-scale", default=3000.0)
+        p.add_argument("--metrics", default=None)
+        p.add_argument("--plot", default=None)
+
+    p2 = sub.add_parser("odometry2d")
+    p2.add_argument("--scans", required=True)
+    p2.add_argument("--compare-oracle", action="store_true")
+    p2.add_argument("--checkpoint", default=None)
+    p2.add_argument("--every", type=int, default=10)
+    p2.add_argument("--submap", action="store_true")
+    p2.add_argument("--voxel-size", type=float, default=30.0)
+    p2.add_argument("--map-capacity", type=int, default=8192)
+    common(p2)
+    p2.set_defaults(fn=cmd_odometry2d)
+
+    p3 = sub.add_parser("odometry3d")
+    p3.add_argument("--hdf5", required=True)
+    p3.add_argument("--synthesize", type=int, default=None)
+    common(p3)
+    p3.set_defaults(fn=cmd_odometry3d)
+
+    ps = sub.add_parser("slam")
+    ps.add_argument("--scans", required=True)
+    ps.add_argument("--loop-radius", type=float, default=300.0)
+    ps.add_argument("--loop-gap", type=int, default=20)
+    common(ps)
+    ps.set_defaults(fn=cmd_slam)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Metrics, checkpoint/resume, and profiling-hook smoke tests."""
+
+import os
+
+import numpy as np
+
+from icp_rust_tpu.utils.checkpoint import SequenceCheckpointer, load_state, save_state
+from icp_rust_tpu.utils.metrics import MetricsLogger
+
+
+def test_metrics_jsonl_roundtrip(tmp_path):
+    import json
+
+    p = os.path.join(tmp_path, "m.jsonl")
+    log = MetricsLogger(p)
+    for i in range(3):
+        log.start_frame()
+        log.end_frame(i, huber_error=1.5 * i)
+    log.close()
+    lines = [json.loads(l) for l in open(p)]
+    assert len(lines) == 3
+    assert lines[2]["huber_error"] == 3.0
+    assert log.summary()["frames"] == 3
+
+
+def test_checkpoint_save_restore(tmp_path):
+    p = os.path.join(tmp_path, "ckpt.npz")
+    ck = SequenceCheckpointer(p, every=5)
+    state = {"path": np.arange(10.0).reshape(5, 2), "t": np.eye(2)}
+    assert not ck.maybe_save(3, state)      # not on the cadence
+    assert ck.maybe_save(5, state)
+    restored = ck.restore()
+    assert int(restored["frame_cursor"]) == 5
+    np.testing.assert_array_equal(restored["path"], state["path"])
+
+
+def test_save_state_atomic_overwrite(tmp_path):
+    p = os.path.join(tmp_path, "s.npz")
+    save_state(p, {"a": np.ones(3)})
+    save_state(p, {"a": np.zeros(3)})
+    np.testing.assert_array_equal(load_state(p)["a"], np.zeros(3))
