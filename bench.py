@@ -58,7 +58,7 @@ def run_tpu(frames):
     import jax.numpy as jnp
 
     from icp_rust_tpu.config import ICPConfig
-    from icp_rust_tpu.models.odometry import run_odometry_device
+    from icp_rust_tpu.models.odometry import run_odometry_fused
     from icp_rust_tpu.utils import io as scan_io
 
     cfg = ICPConfig(
@@ -69,10 +69,11 @@ def run_tpu(frames):
         nn_backend=os.environ.get("BENCH_NN_BACKEND", "auto"),
     )
     pts, mask = scan_io.pad_points(frames, pad_to=PAD_TO)
-    # Warm-up / compile.
-    _ = run_odometry_device(pts[:2], mask[:2], cfg)
+    # Warm-up / compile: the fused program is specialized on the frame
+    # count, so warm up with the full sequence shape.
+    _ = run_odometry_fused(pts, mask, cfg)
     t0 = time.perf_counter()
-    _, path = run_odometry_device(pts, mask, cfg)
+    _, path = run_odometry_fused(pts, mask, cfg)
     elapsed = time.perf_counter() - t0
     fps = (len(frames) - 1) / elapsed
     return fps, path

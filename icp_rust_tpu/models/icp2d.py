@@ -49,6 +49,45 @@ def _unscale_transform(t: RigidTransform2, s: float) -> RigidTransform2:
     return RigidTransform2(rot=t.rot, t=t.t * s) if s != 1.0 else t
 
 
+def _is_identity(dt: RigidTransform2):
+    """Per-batch-lane: is dt EXACTLY the identity (bitwise)?"""
+    eye = jnp.eye(2, dtype=dt.rot.dtype)
+    return jnp.all(dt.rot == eye, axis=(-2, -1)) & jnp.all(
+        dt.t == 0.0, axis=-1
+    )
+
+
+def _outer_fixed_point(step, t0: RigidTransform2, max_iters: int):
+    """Run the outer ICP loop with an EXACT fixed-point early exit.
+
+    The reference runs exactly ``max_iter`` outer iterations with no
+    convergence test (src/lib.rs:112-128).  But ICP's outer iteration is a
+    deterministic function of T alone: if one iteration returns
+    dT == identity bitwise, then T is unchanged, so every subsequent
+    iteration recomputes the identical correspondences and the identical
+    inner solve and returns identity again.  Exiting there is therefore
+    *bit-exact* with running all ``max_iter`` iterations — the inner loop
+    discards a first-step |delta|^2 < 1e-6 update (lib.rs:71-73), which is
+    what produces an exactly-identity dT at convergence.  Batched lanes
+    simply stop changing once their dT is identity, so the loop exits when
+    ALL lanes have hit their fixed point (or at max_iters).
+    """
+
+    def cond(carry):
+        _, it, fixed = carry
+        return (it < max_iters) & ~jnp.all(fixed)
+
+    def body(carry):
+        t, it, _ = carry
+        t_next, fixed = step(t)
+        return (t_next, it + 1, fixed)
+
+    t, _, _ = jax.lax.while_loop(
+        cond, body, (t0, 0, jnp.zeros(t0.t.shape[:-1], bool))
+    )
+    return t
+
+
 def icp2d(
     src: Array,
     dst: Array,
@@ -68,7 +107,7 @@ def icp2d(
         initial_transform.astype(config.compute_dtype), s
     )
 
-    def outer(t, _):
+    def outer(t):
         src_t = t.apply_points(src)
         match = nearest_neighbor(
             src_t, dst, dst_mask, backend=config.nn_backend,
@@ -76,9 +115,9 @@ def icp2d(
         )
         matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
         dt = align2d.estimate_transform(src_t, matched, src_mask, config)
-        return dt.compose(t), None
+        return dt.compose(t), _is_identity(dt)
 
-    t, _ = jax.lax.scan(outer, t0, None, length=config.outer_iters)
+    t = _outer_fixed_point(outer, t0, config.outer_iters)
     return _unscale_transform(t, s)
 
 
@@ -107,7 +146,7 @@ def icp3d_planar(
         xy = t.apply_points(pts[..., :2])
         return jnp.concatenate([xy, pts[..., 2:]], axis=-1)
 
-    def outer(t, _):
+    def outer(t):
         src_t = transform_xy(t, src)  # (..., N, 3)
         match = nearest_neighbor(
             src_t, dst, dst_mask, backend=config.nn_backend,
@@ -117,7 +156,7 @@ def icp3d_planar(
         dt = align2d.estimate_transform(
             src_t[..., :2], matched[..., :2], src_mask, config
         )
-        return dt.compose(t), None
+        return dt.compose(t), _is_identity(dt)
 
-    t, _ = jax.lax.scan(outer, t0, None, length=config.outer_iters)
+    t = _outer_fixed_point(outer, t0, config.outer_iters)
     return _unscale_transform(t, s)

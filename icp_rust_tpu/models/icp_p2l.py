@@ -51,7 +51,7 @@ def icp_point_to_plane(
         normals = dst_normals.astype(dtype)
         n_valid = dst_mask
 
-    def outer(t, _):
+    def outer(t):
         src_t = t.apply_points(src)
         match = nearest_neighbor(
             src_t, dst, dst_mask, backend=config.nn_backend,
@@ -66,7 +66,25 @@ def icp_point_to_plane(
         dt = align3d.estimate_transform_p2l(
             src_t, matched, matched_n, pair_mask, config
         )
-        return dt.compose(t), None
+        eye = jnp.eye(3, dtype=dt.rot.dtype)
+        fixed = jnp.all(dt.rot == eye, axis=(-2, -1)) & jnp.all(
+            dt.t == 0.0, axis=-1
+        )
+        return dt.compose(t), fixed
 
-    t, _ = jax.lax.scan(outer, t0, None, length=config.outer_iters)
+    # Exact fixed-point early exit: an identity dT reproduces itself, so
+    # stopping is bit-identical to running all outer_iters (see
+    # models/icp2d._outer_fixed_point).
+    def cond(carry):
+        _, it, fixed = carry
+        return (it < config.outer_iters) & ~jnp.all(fixed)
+
+    def body(carry):
+        t, it, _ = carry
+        t_next, fixed = outer(t)
+        return (t_next, it + 1, fixed)
+
+    t, _, _ = jax.lax.while_loop(
+        cond, body, (t0, 0, jnp.zeros(t0.t.shape[:-1], bool))
+    )
     return RigidTransform3(t.rot, t.t * s)

@@ -102,6 +102,9 @@ def _count_gate(mask: Array, axis_name: str | None = None) -> Array:
 class GNUpdate(NamedTuple):
     delta: Array  # (..., 3) twist update (zeros where not ok)
     ok: Array     # (...,) bool
+    err: Array    # (...,) Huber error at the PRE-update transform (the
+                  # residuals are already in hand, so the inner loop's
+                  # stop-3 check rides along instead of re-walking points)
 
 
 def gauss_newton_update(
@@ -112,15 +115,16 @@ def gauss_newton_update(
     det_rel_eps: float = 0.0,
 ) -> GNUpdate:
     """Plain GN step. Ref src/lib.rs:191-216."""
-    mask = mask.astype(src.dtype)
+    maskf = mask.astype(src.dtype)
     j = jacobian(transform.rot, src)
     r = residuals(transform, src, dst)
-    jtr = jnp.einsum("...nik,...ni,...n->...k", j, r, mask)
-    jtj = jnp.einsum("...nik,...nil,...n->...kl", j, j, mask)
+    jtr = jnp.einsum("...nik,...ni,...n->...k", j, r, maskf)
+    jtj = jnp.einsum("...nik,...nil,...n->...kl", j, j, maskf)
     x, ok_solve = linalg.solve3x3(jtj, jtr, det_rel_eps)
     ok = ok_solve & _count_gate(mask)
     delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
-    return GNUpdate(delta, ok)
+    err = jnp.sum(jnp.sum(r * r, axis=-1) * maskf, axis=-1)
+    return GNUpdate(delta, ok, err)
 
 
 def weighted_gauss_newton_update(
@@ -157,13 +161,16 @@ def weighted_gauss_newton_update(
     j = jacobian(transform.rot, src)  # (..., N, 2, 3)
     jtr = jnp.einsum("...ni,...nik,...ni->...k", u, j, r)
     jtj = jnp.einsum("...ni,...nik,...nil->...kl", u, j, j)
+    err = jnp.sum(huber.rho(jnp.sum(r * r, axis=-1), huber_k) * maskf,
+                  axis=-1)
     if axis_name:
         jtr = jax.lax.psum(jtr, axis_name)
         jtj = jax.lax.psum(jtj, axis_name)
+        err = jax.lax.psum(err, axis_name)
     x, ok_solve = linalg.solve3x3(jtj, jtr, det_rel_eps)
     ok = ok_solve & _count_gate(mask, axis_name) & stats_valid
     delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
-    return GNUpdate(delta, ok)
+    return GNUpdate(delta, ok, err)
 
 
 def _delta_sq_physical(delta: Array, point_scale: float) -> Array:
@@ -212,8 +219,9 @@ def estimate_transform(
         d2 = _delta_sq_physical(upd.delta, config.point_scale)
         stop |= d2 < config.inner_delta_sq_tol
         # Stop 3: Huber error at the PRE-update transform increased
-        # (lib.rs:75-79).
-        e = huber_error(t, src, dst, mask, huber_k, axis_name)
+        # (lib.rs:75-79).  The GN update already computed the residuals
+        # at t, so the error rides along in upd.err — no second pass.
+        e = upd.err
         stop |= e > prev_err
         newly_done = done | stop
         # A passing iteration applies delta AFTER the checks (lib.rs:81)

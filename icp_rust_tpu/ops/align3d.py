@@ -34,6 +34,7 @@ from icp_rust_tpu.ops import huber, robust
 class GNUpdate6(NamedTuple):
     delta: Array  # (..., 6)
     ok: Array     # (...,)
+    err: Array    # (...,) Huber error at the PRE-update transform
 
 
 def plane_residuals(
@@ -94,7 +95,8 @@ def weighted_gn_update_p2l(
     )
     ok = n_ok & stats_valid & finite & resid_ok & dim_ok
     delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
-    return GNUpdate6(delta, ok)
+    err = jnp.sum(huber.rho(r * r, huber_k) * maskf, axis=-1)
+    return GNUpdate6(delta, ok, err)
 
 
 def estimate_transform_p2l(
@@ -129,7 +131,7 @@ def estimate_transform_p2l(
             + jnp.sum(upd.delta[..., 3:] ** 2, axis=-1)
         )
         stop = ~upd.ok | (d2_phys < config.inner_delta_sq_tol)
-        e = huber_error_p2l(t, src, dst, normals, mask, huber_k)
+        e = upd.err  # residuals already walked in the GN update
         stop |= e > prev
         newly = done | stop
         t_step = RigidTransform3.from_twist(upd.delta).compose(t)

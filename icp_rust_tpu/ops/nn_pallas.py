@@ -50,40 +50,57 @@ def available() -> bool:
         return False
 
 
-def _nn_kernel(q_ref, db_ref, dbm_ref, dist_ref, idx_ref, d_dim: int,
-               db_tile: int, n_db_tiles: int):
-    """One (query-tile, db-tile) grid step.
+def _nn_kernel(q_ref, db_ref, dbm_ref, dist_ref, idx_ref, best_d, best_i,
+               d_dim: int, db_tile: int, n_db_tiles: int):
+    """One (query-tile, db-tile) grid step with DEFERRED argmin.
+
+    The naive kernel reduces (TQ, TD) -> (TQ, 1) min+argmin on every db
+    tile: the min pass, the dist==min compare, and the masked index-min
+    are three extra sweeps of the distance tile, most of it cross-lane
+    reduction work the VPU hates.  Instead keep per-LANE running minima:
+    a (TQ, 128) carry where lane L tracks the best over all db columns
+    congruent to L (mod 128).  Per 128-column chunk the update is one
+    compare + two selects — pure elementwise, no reductions — and the
+    single cross-lane reduction happens once per query tile in the
+    epilogue.
 
     q_ref:   (TQ, D)   queries
     db_ref:  (D, TD)   db tile, coordinate-major
     dbm_ref: (1, TD)   db validity (float 0/1)
-    dist_ref/idx_ref: (TQ, 1) running best (squared distance / global index)
+    dist_ref/idx_ref: (TQ, 1) final output (written on the last db tile)
+    best_d/best_i: (TQ, 128) VMEM scratch carries
     """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        dist_ref[:] = jnp.full_like(dist_ref, jnp.inf)
-        idx_ref[:] = jnp.zeros_like(idx_ref)
+        best_d[:] = jnp.full_like(best_d, jnp.inf)
+        best_i[:] = jnp.zeros_like(best_i)
 
     q = q_ref[:]  # (TQ, D)
-    dist = jnp.zeros((q.shape[0], db_tile), dtype=dist_ref.dtype)
-    for k in range(d_dim):
-        diff = q[:, k:k + 1] - db_ref[k:k + 1, :]  # (TQ, TD)
-        dist = dist + diff * diff
-    valid = dbm_ref[0:1, :] > 0.5  # (1, TD)
-    dist = jnp.where(valid, dist, jnp.inf)
+    tq = q.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
+    for c in range(db_tile // 128):
+        sl = slice(c * 128, (c + 1) * 128)
+        dist = jnp.zeros((tq, 128), dtype=best_d.dtype)
+        for k in range(d_dim):
+            diff = q[:, k:k + 1] - db_ref[k:k + 1, sl]  # (TQ, 128)
+            dist = dist + diff * diff
+        valid = dbm_ref[0:1, sl] > 0.5
+        dist = jnp.where(valid, dist, jnp.inf)
+        gidx = lane + (j * db_tile + c * 128)
+        better = dist < best_d[:]  # strict: earlier chunks win ties
+        best_d[:] = jnp.where(better, dist, best_d[:])
+        best_i[:] = jnp.where(better, gidx, best_i[:])
 
-    # Lowest-index argmin within the tile: argmin of (dist, index) lexicographic.
-    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    tile_min = jnp.min(dist, axis=1, keepdims=True)  # (TQ, 1)
-    cand = jnp.where(dist == tile_min, col, db_tile)
-    tile_arg = jnp.min(cand, axis=1, keepdims=True)  # (TQ, 1)
-    tile_idx = (tile_arg + j * db_tile).astype(jnp.int32)
-
-    better = tile_min < dist_ref[:]  # strict: earlier tiles win ties
-    dist_ref[:] = jnp.where(better, tile_min, dist_ref[:])
-    idx_ref[:] = jnp.where(better, tile_idx, idx_ref[:])
+    @pl.when(j == n_db_tiles - 1)
+    def _epilogue():
+        bd = best_d[:]  # (TQ, 128)
+        m = jnp.min(bd, axis=1, keepdims=True)  # (TQ, 1)
+        big = jnp.iinfo(jnp.int32).max
+        cand = jnp.where(bd == m, best_i[:], big)
+        dist_ref[:] = m
+        idx_ref[:] = jnp.min(cand, axis=1, keepdims=True)
 
 
 @functools.partial(
@@ -127,6 +144,10 @@ def _nn_pallas_2d(
         out_shape=[
             jax.ShapeDtypeStruct((q, 1), query.dtype),
             jax.ShapeDtypeStruct((q, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, 128), query.dtype),
+            pltpu.VMEM((q_tile, 128), jnp.int32),
         ],
         interpret=interpret,
     )(query, db_cm, db_mask)

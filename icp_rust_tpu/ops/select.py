@@ -39,21 +39,29 @@ def _order_keys(x: Array):
     return b ^ jnp.where(sign == 1, allf, topb), nbits
 
 
-def kth_smallest_masked(x: Array, mask: Array, k: Array) -> Array:
+def kth_smallest_masked(
+    x: Array, mask: Array, k: Array, digit_bits: int = 8
+) -> Array:
     """Exact k-th smallest (0-based) of the mask-true lanes of x.
 
     x: (..., N); mask: (..., N) bool; k: (...,) int32 with
     0 <= k < count(mask).  Returns (...,) with x.dtype.  Undefined where
     the count is 0 or k is out of range (callers gate on validity).
+
+    digit_bits: radix width per pass (8 -> 4 passes of 256 bins for f32;
+    4 -> 8 passes of 16 bins).  Wider digits mean fewer passes; the
+    histogram compare-reduce stays fused either way.
     """
     keys, nbits = _order_keys(x)
     cand = mask
     r = k.astype(jnp.int32)
-    bins = jnp.arange(16, dtype=jnp.uint32 if nbits == 32 else jnp.uint64)
+    nbins = 1 << digit_bits
+    bmask = nbins - 1
+    bins = jnp.arange(nbins, dtype=jnp.uint32 if nbits == 32 else jnp.uint64)
 
-    for p in range(nbits // 4):
-        shift = nbits - 4 * (p + 1)
-        digit = (keys >> shift) & 0xF  # (..., N)
+    for p in range(nbits // digit_bits):
+        shift = nbits - digit_bits * (p + 1)
+        digit = (keys >> shift) & bmask  # (..., N)
         # Masked 16-bin histogram, then cumulative counts: (..., 16).
         onehot = (digit[..., None] == bins) & cand[..., None]
         cum = jnp.cumsum(
@@ -90,8 +98,15 @@ def masked_median_radix(x: Array, mask: Array):
     n = jnp.sum(mask, axis=-1).astype(jnp.int32)
     valid = n > 0
     h = n // 2
-    v_hi = kth_smallest_masked(x, mask, jnp.maximum(h, 0))
-    v_lo = kth_smallest_masked(x, mask, jnp.maximum(h - 1, 0))
+    # Both order stats in ONE batched select (leading axis of size 2) so
+    # the radix passes share kernels instead of running twice in sequence.
+    ks = jnp.stack([jnp.maximum(h - 1, 0), jnp.maximum(h, 0)])
+    vs = kth_smallest_masked(
+        jnp.broadcast_to(x, (2, *x.shape)),
+        jnp.broadcast_to(mask, (2, *mask.shape)),
+        ks,
+    )
+    v_lo, v_hi = vs[0], vs[1]
     odd = (n % 2) == 1
     med = jnp.where(odd, v_hi, 0.5 * (v_lo + v_hi))
     return jnp.where(valid, med, jnp.zeros_like(med)), valid

@@ -1,0 +1,45 @@
+"""Pallas NN kernel vs the XLA sweep (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icp_rust_tpu.ops.nn import nn_xla
+from icp_rust_tpu.ops.nn_pallas import nn_pallas
+
+
+@pytest.mark.parametrize("d", [2, 3])
+@pytest.mark.parametrize("q,m", [(256, 512), (300, 700)])
+def test_pallas_matches_xla(d, q, m):
+    rng = np.random.default_rng(q + m + d)
+    query = jnp.asarray(rng.uniform(-3, 3, (q, d)), jnp.float32)
+    db = jnp.asarray(rng.uniform(-3, 3, (m, d)), jnp.float32)
+    db_mask = jnp.asarray(rng.random(m) > 0.15)
+    got = nn_pallas(query, db, db_mask, q_tile=128, db_tile=256,
+                    interpret=True)
+    want = nn_xla(query, db, db_mask)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    np.testing.assert_allclose(np.asarray(got.dist_sq),
+                               np.asarray(want.dist_sq), rtol=1e-6)
+
+
+def test_pallas_tie_break_lowest_index():
+    """Duplicate db points across tiles/lanes -> lowest index wins."""
+    q = jnp.zeros((128, 2), jnp.float32)
+    db = jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32), (512, 1))
+    got = nn_pallas(q, db, q_tile=128, db_tile=256, interpret=True)
+    want = nn_xla(q, db)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    assert int(got.index[0]) == 0
+
+
+def test_pallas_batched():
+    rng = np.random.default_rng(0)
+    query = jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)), jnp.float32)
+    db = jnp.asarray(rng.uniform(-1, 1, (2, 256, 3)), jnp.float32)
+    got = nn_pallas(query, db, q_tile=128, db_tile=128, interpret=True)
+    want = nn_xla(query, db)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
