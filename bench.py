@@ -67,6 +67,7 @@ def run_tpu(frames):
         det_rel_eps=1e-9,
         nn_dst_tile=int(os.environ.get("BENCH_NN_TILE", "2048")),
         nn_backend=os.environ.get("BENCH_NN_BACKEND", "auto"),
+        align_backend=os.environ.get("BENCH_ALIGN_BACKEND", "pallas"),
     )
     pts, mask = scan_io.pad_points(frames, pad_to=PAD_TO)
     # Warm-up / compile: the fused program is specialized on the frame

@@ -62,6 +62,10 @@ class ICPConfig:
     # Tile sizes for the Pallas NN kernel (queries x database).
     nn_query_tile: int = 256
     nn_dst_tile: int = 512
+    # Inner GN update backend: "xla" (fused einsums; any platform, exact
+    # parity path) | "pallas" (single-launch fused kernel incl. in-kernel
+    # radix-select sigma; TPU f32, reduction order differs at roundoff).
+    align_backend: str = "xla"
 
     def with_(self, **kwargs) -> "ICPConfig":
         return dataclasses.replace(self, **kwargs)

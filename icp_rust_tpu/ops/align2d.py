@@ -173,6 +173,39 @@ def weighted_gauss_newton_update(
     return GNUpdate(delta, ok, err)
 
 
+def weighted_gn_update_pallas(
+    transform: RigidTransform2,
+    src: Array,
+    dst: Array,
+    mask: Array,
+    huber_k: float,
+    det_rel_eps: float = 0.0,
+    interpret: bool = False,
+) -> GNUpdate:
+    """Single-launch fused GN update (ops/align2d_pallas.py).
+
+    Unbatched (N, 2) only — the batched/sharded paths use the XLA
+    version.  Same math as weighted_gauss_newton_update; reduction order
+    differs at f32 roundoff.
+    """
+    from icp_rust_tpu.ops import align2d_pallas
+
+    stats = align2d_pallas.gn_stats_pallas(
+        src, dst, mask, transform.rot, transform.t, huber_k,
+        interpret=interpret,
+    )
+    jtj, jtr, err, nf, sig_x, sig_y = align2d_pallas.assemble_update(
+        stats, transform.rot
+    )
+    jtj = jtj.astype(src.dtype)
+    jtr = jtr.astype(src.dtype)
+    x, ok_solve = linalg.solve3x3(jtj, jtr, det_rel_eps)
+    stats_valid = nf > 0
+    ok = ok_solve & (nf >= 2) & stats_valid
+    delta = jnp.where(ok, -x, jnp.zeros_like(x))
+    return GNUpdate(delta, ok, err.astype(src.dtype))
+
+
 def _delta_sq_physical(delta: Array, point_scale: float) -> Array:
     """|delta|^2 with translation components rescaled to physical units."""
     s = point_scale
@@ -208,11 +241,24 @@ def estimate_transform(
         _, _, done, it = carry
         return (it < config.inner_max_iter) & jnp.any(~done)
 
+    use_pallas = (
+        config.align_backend == "pallas"
+        and axis_name is None
+        and src.ndim == 2
+        and src.shape[-2] % 128 == 0
+        and src.dtype == jnp.float32
+    )
+
     def body(carry):
         t, prev_err, done, it = carry
-        upd = weighted_gauss_newton_update(
-            t, src, dst, mask, huber_k, config.det_rel_eps, axis_name
-        )
+        if use_pallas:
+            upd = weighted_gn_update_pallas(
+                t, src, dst, mask, huber_k, config.det_rel_eps
+            )
+        else:
+            upd = weighted_gauss_newton_update(
+                t, src, dst, mask, huber_k, config.det_rel_eps, axis_name
+            )
         # Stop 1: degenerate / singular (Option::None -> break).
         stop = ~upd.ok
         # Stop 2: |delta|^2 below threshold, BEFORE applying (lib.rs:71).

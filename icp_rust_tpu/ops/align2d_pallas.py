@@ -1,0 +1,281 @@
+"""Fused Pallas TPU kernel: one launch per robust SE(2) GN update.
+
+The inner IRLS iteration (reference src/lib.rs:218-261) at the XLA level
+costs ~30 small kernels — residuals, two radix-select medians per
+dimension, weights, masked einsums — and at 28k points each launch's
+latency dwarfs its work.  This kernel does the whole update in ONE
+launch, everything VMEM-resident:
+
+  1. residuals r = R s + t - d  (coordinate-major (M, 128) layout)
+  2. robust sigma per dim: exact 2-bit radix select for the upper median
+     order stat + a count/max pass for the lower (even-length average,
+     reference src/stats.rs:18-27), then MAD the same way
+  3. Huber IRLS weights u_j = drho(r_j^2, k) / sigma_j, masked
+  4. the normal-equation sums.  J = [R | R(-a_y, a_x)^T] shares R across
+     all points, so J^T J / J^T r collapse to 10 point-reductions:
+       S_u = sum u_j, S_uw = sum u_j w_j, S_uw2 = sum u_j w_j^2,
+       S_ur = sum u_j r_j, S_uwr = sum u_j w_j r_j     (per dim j)
+     with w_x = -r00 a_y + r01 a_x, w_y = -r10 a_y + r11 a_x; the 3x3
+     system is assembled from these scalars on the host side.
+  5. the Huber error at the pre-update transform (the inner loop's
+     stop-3 value) rides along.
+
+Output: one (1, 16) f32 vector of packed scalars.
+
+Reduction order differs from the XLA einsum path, so results match to
+f32 roundoff (not bitwise); the parity suite runs the XLA path, and the
+bench gates on ATE.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+try:  # pragma: no cover
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_LANES = 128
+
+
+def _masked_sum(x, m):
+    return jnp.sum(jnp.where(m, x, 0.0))
+
+
+def _sum2(x):
+    """Two-stage reduce of an (M, 256) f32 array into its two 128-lane
+    halves: one shared sublane reduction, then two cheap 128-lane
+    reductions.  Mosaic keeps everything 2D (3D layouts are unsupported)."""
+    col = jnp.sum(x, axis=0, keepdims=True)  # (1, 256)
+    return jnp.sum(col[:, :128]), jnp.sum(col[:, 128:])
+
+
+def _median_radix2_pair(x0, x1, mask, n):
+    """Exact masked medians of TWO (M, 128) f32 arrays at once.
+
+    The two dims sit side by side in a (M, 256) array, so each radix
+    pass's digit extraction, comparison and the expensive sublane
+    reduction are shared; only the final 128-lane fold and the scalar
+    rank bookkeeping are per-dim.  Reference even/odd order-stat
+    semantics (src/stats.rs:18-27)."""
+    xs = jnp.concatenate([x0, x1], axis=1)  # (M, 256)
+    b = jax.lax.bitcast_convert_type(xs, jnp.uint32)
+    sign = (b >> 31) == 1
+    keys = b ^ jnp.where(sign, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+
+    h = n // 2  # same target rank for both dims (shared mask)
+    mask2 = jnp.concatenate([mask, mask], axis=1)
+    cand = mask2
+    r0 = h
+    r1 = h
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    # 16 passes x 2-bit digits, high to low.
+    for p in range(16):
+        shift = 30 - 2 * p
+        digit = (keys >> shift) & 0x3
+        c0a, c0b = _sum2(jnp.where(cand & (digit == 0), one, zero))
+        c1a, c1b = _sum2(jnp.where(cand & (digit == 1), one, zero))
+        c2a, c2b = _sum2(jnp.where(cand & (digit == 2), one, zero))
+
+        def _advance(r, c0, c1, c2):
+            cum0 = c0.astype(jnp.int32)
+            cum1 = cum0 + c1.astype(jnp.int32)
+            cum2 = cum1 + c2.astype(jnp.int32)
+            sel = jnp.where(
+                r < cum0, 0,
+                jnp.where(r < cum1, 1, jnp.where(r < cum2, 2, 3)),
+            ).astype(jnp.uint32)
+            r_new = r - jnp.where(
+                sel == 0, 0,
+                jnp.where(sel == 1, cum0, jnp.where(sel == 2, cum1, cum2)),
+            )
+            return sel, r_new
+
+        sel0, r0 = _advance(r0, c0a, c1a, c2a)
+        sel1, r1 = _advance(r1, c0b, c1b, c2b)
+        lane = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 1)
+        sel_full = jnp.where(lane < 128, sel0, sel1)
+        cand = cand & (digit == sel_full)
+
+    inf = jnp.float32(jnp.inf)
+    v_cols = jnp.min(jnp.where(cand, xs, inf), axis=0, keepdims=True)
+    v_hi0 = jnp.min(v_cols[:, :128])
+    v_hi1 = jnp.min(v_cols[:, 128:])
+
+    # lower order stat via count/max (see ops.select.masked_median_radix)
+    lane = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 1)
+    v_hi_full = jnp.where(lane < 128, v_hi0, v_hi1)
+    less = mask2 & (xs < v_hi_full)
+    cl0, cl1 = _sum2(jnp.where(less, one, zero))
+    mx_cols = jnp.max(jnp.where(less, xs, -inf), axis=0, keepdims=True)
+    vmax0 = jnp.max(mx_cols[:, :128])
+    vmax1 = jnp.max(mx_cols[:, 128:])
+
+    def _combine(v_hi, cnt_less, vmax_less):
+        v_lo = jnp.where(cnt_less.astype(jnp.int32) == h, vmax_less, v_hi)
+        odd = (n % 2) == 1
+        med = jnp.where(odd, v_hi, 0.5 * (v_lo + v_hi))
+        return jnp.where(n > 0, med, 0.0)
+
+    return _combine(v_hi0, cl0, vmax0), _combine(v_hi1, cl1, vmax1)
+
+
+_MAD_SCALE = 1.482602218505602  # reference src/stats.rs:42
+
+
+def _gn_kernel(params_ref, sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref,
+               *, huber_k: float):
+    r00 = params_ref[0, 0]
+    r01 = params_ref[0, 1]
+    r10 = params_ref[0, 2]
+    r11 = params_ref[0, 3]
+    tx = params_ref[0, 4]
+    ty = params_ref[0, 5]
+
+    sx = sx_ref[:]
+    sy = sy_ref[:]
+    mask = m_ref[:] > 0.5
+    n = jnp.sum(jnp.where(mask, 1, 0), dtype=jnp.int32)
+    nf = n.astype(jnp.float32)
+
+    rx = r00 * sx + r01 * sy + tx - dx_ref[:]
+    ry = r10 * sx + r11 * sy + ty - dy_ref[:]
+
+    k2 = jnp.float32(huber_k * huber_k)
+
+    # robust sigma per dimension: median then MAD (dims paired per pass)
+    med_x, med_y = _median_radix2_pair(rx, ry, mask, n)
+    mad_x, mad_y = _median_radix2_pair(
+        jnp.abs(rx - med_x), jnp.abs(ry - med_y), mask, n
+    )
+    sig_x = jnp.float32(_MAD_SCALE) * mad_x
+    sig_y = jnp.float32(_MAD_SCALE) * mad_y
+    g_x = jnp.where(sig_x != 0.0, 1.0 / jnp.where(sig_x != 0.0, sig_x, 1.0),
+                    0.0)
+    g_y = jnp.where(sig_y != 0.0, 1.0 / jnp.where(sig_y != 0.0, sig_y, 1.0),
+                    0.0)
+
+    # IRLS weights: drho(e, k) = 1 if e <= k^2 else k / sqrt(e)
+    ex = rx * rx
+    ey = ry * ry
+    wgt_x = jnp.where(ex <= k2, 1.0, huber_k * jax.lax.rsqrt(ex))
+    wgt_y = jnp.where(ey <= k2, 1.0, huber_k * jax.lax.rsqrt(ey))
+    mf = jnp.where(mask, 1.0, 0.0)
+    u_x = wgt_x * g_x * mf
+    u_y = wgt_y * g_y * mf
+
+    # third Jacobian column per point
+    w_x = -r00 * sy + r01 * sx
+    w_y = -r10 * sy + r11 * sx
+
+    s_u_x = jnp.sum(u_x)
+    s_uw_x = jnp.sum(u_x * w_x)
+    s_uw2_x = jnp.sum(u_x * w_x * w_x)
+    s_ur_x = jnp.sum(u_x * rx)
+    s_uwr_x = jnp.sum(u_x * w_x * rx)
+    s_u_y = jnp.sum(u_y)
+    s_uw_y = jnp.sum(u_y * w_y)
+    s_uw2_y = jnp.sum(u_y * w_y * w_y)
+    s_ur_y = jnp.sum(u_y * ry)
+    s_uwr_y = jnp.sum(u_y * w_y * ry)
+
+    # Huber error at the pre-update transform: rho(|r|^2, k)
+    e = ex + ey
+    rho = jnp.where(e <= k2, e, 2.0 * huber_k * jnp.sqrt(e) - k2)
+    err = jnp.sum(rho * mf)
+
+    out_ref[0, 0] = s_u_x
+    out_ref[0, 1] = s_uw_x
+    out_ref[0, 2] = s_uw2_x
+    out_ref[0, 3] = s_ur_x
+    out_ref[0, 4] = s_uwr_x
+    out_ref[0, 5] = s_u_y
+    out_ref[0, 6] = s_uw_y
+    out_ref[0, 7] = s_uw2_y
+    out_ref[0, 8] = s_ur_y
+    out_ref[0, 9] = s_uwr_y
+    out_ref[0, 10] = err
+    out_ref[0, 11] = nf
+    out_ref[0, 12] = sig_x
+    out_ref[0, 13] = sig_y
+    out_ref[0, 14] = 0.0
+    out_ref[0, 15] = 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("huber_k", "interpret"))
+def gn_stats_pallas(
+    src: Array,
+    dst: Array,
+    mask: Array,
+    rot: Array,
+    t: Array,
+    huber_k: float,
+    interpret: bool = False,
+) -> Array:
+    """src/dst: (N, 2) with N a multiple of 128; mask: (N,).
+    Returns the packed (16,) f32 stats vector (see module docstring)."""
+    n = src.shape[0]
+    m_rows = n // _LANES
+    shape = (m_rows, _LANES)
+    sx = src[:, 0].reshape(shape)
+    sy = src[:, 1].reshape(shape)
+    dx = dst[:, 0].reshape(shape)
+    dy = dst[:, 1].reshape(shape)
+    mf = mask.astype(jnp.float32).reshape(shape)
+    params = jnp.concatenate(
+        [rot.reshape(-1), t.reshape(-1), jnp.zeros(2, rot.dtype)]
+    ).astype(jnp.float32).reshape(1, 8)
+
+    out = pl.pallas_call(
+        functools.partial(_gn_kernel, huber_k=float(huber_k)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 16), jnp.float32),
+        interpret=interpret,
+    )(params, sx, sy, dx, dy, mf)
+    return out[0]
+
+
+def assemble_update(stats: Array, rot: Array):
+    """Rebuild (jtj (3,3), jtr (3,), err, count, sigma) from the kernel's
+    packed stats using J = [R | w], w_x/w_y the per-point third column.
+
+    J_x^T J_x = [[r00^2, r00 r01, r00 w],[., r01^2, r01 w],[., ., w^2]],
+    so sum u (J^T J) needs only S_u, S_uw, S_uw2 per dim; J^T r likewise.
+    """
+    (s_u_x, s_uw_x, s_uw2_x, s_ur_x, s_uwr_x,
+     s_u_y, s_uw_y, s_uw2_y, s_ur_y, s_uwr_y,
+     err, nf, sig_x, sig_y) = [stats[i] for i in range(14)]
+    r00, r01 = rot[0, 0], rot[0, 1]
+    r10, r11 = rot[1, 0], rot[1, 1]
+
+    def dim_terms(a, b, s_u, s_uw, s_uw2, s_ur, s_uwr):
+        jtj = jnp.stack([
+            jnp.stack([a * a * s_u, a * b * s_u, a * s_uw]),
+            jnp.stack([a * b * s_u, b * b * s_u, b * s_uw]),
+            jnp.stack([a * s_uw, b * s_uw, s_uw2]),
+        ])
+        jtr = jnp.stack([a * s_ur, b * s_ur, s_uwr])
+        return jtj, jtr
+
+    jtj_x, jtr_x = dim_terms(r00, r01, s_u_x, s_uw_x, s_uw2_x, s_ur_x,
+                             s_uwr_x)
+    jtj_y, jtr_y = dim_terms(r10, r11, s_u_y, s_uw_y, s_uw2_y, s_ur_y,
+                             s_uwr_y)
+    return jtj_x + jtj_y, jtr_x + jtr_y, err, nf, sig_x, sig_y

@@ -145,13 +145,25 @@ def nearest_neighbor(
 ) -> NNResult:
     """Dispatching entry point; see module docstring.
 
-    "auto" resolves to the XLA tiled sweep: measured on TPU v5e at
-    28800^2 x D=3 it runs 4.5 ms vs 5.6 ms for the best Pallas tiling
-    (benchmarks/profile_nn_tiles.py) — XLA's fused broadcast-subtract +
-    min/argmin epilogue is already near the VPU roofline for this op.
+    "auto" resolves to the Pallas deferred-argmin kernel on TPU and the
+    XLA sweep elsewhere.  Profiling (benchmarks/profile_overhead2.py +
+    an XLA device trace) showed nn_xla's per-tile min/argmin lowers to
+    an iota+reduce fusion costing ~75 us per (28800, 512) tile — 93% of
+    the whole ICP program's device time — while the Pallas kernel's
+    per-lane carry replaces every per-tile argmin with elementwise
+    compare+select and runs the full 28800^2 sweep in ~2 ms (VPU
+    roofline is ~1.7 ms).
     """
     if backend == "pallas":
         from icp_rust_tpu.ops import nn_pallas
 
-        return nn_pallas.nn_pallas(query, db, db_mask)
+        return nn_pallas.nn_pallas(query, db, db_mask, db_tile=2048)
+    if backend == "auto":
+        try:
+            from icp_rust_tpu.ops import nn_pallas
+
+            if nn_pallas.available():
+                return nn_pallas.nn_pallas(query, db, db_mask, db_tile=2048)
+        except ImportError:
+            pass
     return nn_xla(query, db, db_mask, tile=tile, method=method)

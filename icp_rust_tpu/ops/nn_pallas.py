@@ -50,7 +50,7 @@ def available() -> bool:
         return False
 
 
-def _nn_kernel(q_ref, db_ref, dbm_ref, dist_ref, idx_ref, best_d, best_i,
+def _nn_kernel(q_ref, db_ref, dist_ref, idx_ref, best_d, best_c,
                d_dim: int, db_tile: int, n_db_tiles: int):
     """One (query-tile, db-tile) grid step with DEFERRED argmin.
 
@@ -60,45 +60,46 @@ def _nn_kernel(q_ref, db_ref, dbm_ref, dist_ref, idx_ref, best_d, best_i,
     reduction work the VPU hates.  Instead keep per-LANE running minima:
     a (TQ, 128) carry where lane L tracks the best over all db columns
     congruent to L (mod 128).  Per 128-column chunk the update is one
-    compare + two selects — pure elementwise, no reductions — and the
+    compare + two selects — pure elementwise, no reductions, no masking
+    (invalid db points are pre-filled with a sentinel coordinate so their
+    distance overflows to +inf), no index iota (only the scalar chunk
+    counter is stored; the lane is implicit in the carry position).  The
     single cross-lane reduction happens once per query tile in the
     epilogue.
 
     q_ref:   (TQ, D)   queries
-    db_ref:  (D, TD)   db tile, coordinate-major
-    dbm_ref: (1, TD)   db validity (float 0/1)
+    db_ref:  (D, TD)   db tile, coordinate-major, sentinel-padded
     dist_ref/idx_ref: (TQ, 1) final output (written on the last db tile)
-    best_d/best_i: (TQ, 128) VMEM scratch carries
+    best_d/best_c: (TQ, 128) VMEM scratch: best distance / best CHUNK id
     """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         best_d[:] = jnp.full_like(best_d, jnp.inf)
-        best_i[:] = jnp.zeros_like(best_i)
+        best_c[:] = jnp.zeros_like(best_c)
 
     q = q_ref[:]  # (TQ, D)
     tq = q.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
-    for c in range(db_tile // 128):
+    chunks_per_tile = db_tile // 128
+    for c in range(chunks_per_tile):
         sl = slice(c * 128, (c + 1) * 128)
         dist = jnp.zeros((tq, 128), dtype=best_d.dtype)
         for k in range(d_dim):
             diff = q[:, k:k + 1] - db_ref[k:k + 1, sl]  # (TQ, 128)
             dist = dist + diff * diff
-        valid = dbm_ref[0:1, sl] > 0.5
-        dist = jnp.where(valid, dist, jnp.inf)
-        gidx = lane + (j * db_tile + c * 128)
         better = dist < best_d[:]  # strict: earlier chunks win ties
         best_d[:] = jnp.where(better, dist, best_d[:])
-        best_i[:] = jnp.where(better, gidx, best_i[:])
+        best_c[:] = jnp.where(better, j * chunks_per_tile + c, best_c[:])
 
     @pl.when(j == n_db_tiles - 1)
     def _epilogue():
         bd = best_d[:]  # (TQ, 128)
         m = jnp.min(bd, axis=1, keepdims=True)  # (TQ, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+        gidx = best_c[:] * 128 + lane
         big = jnp.iinfo(jnp.int32).max
-        cand = jnp.where(bd == m, best_i[:], big)
+        cand = jnp.where(bd == m, gidx, big)
         dist_ref[:] = m
         idx_ref[:] = jnp.min(cand, axis=1, keepdims=True)
 
@@ -109,12 +110,11 @@ def _nn_kernel(q_ref, db_ref, dbm_ref, dist_ref, idx_ref, best_d, best_i,
 def _nn_pallas_2d(
     query: Array,
     db_cm: Array,
-    db_mask: Array,
     q_tile: int = 256,
     db_tile: int = 512,
     interpret: bool = False,
 ):
-    """query: (Q, D); db_cm: (D, M) coordinate-major; db_mask: (1, M) float."""
+    """query: (Q, D); db_cm: (D, M) coordinate-major, sentinel-padded."""
     q, d_dim = query.shape
     m = db_cm.shape[1]
     n_q_tiles = q // q_tile
@@ -132,8 +132,6 @@ def _nn_pallas_2d(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d_dim, db_tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, db_tile), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
@@ -150,12 +148,176 @@ def _nn_pallas_2d(
             pltpu.VMEM((q_tile, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(query, db_cm, db_mask)
+    )(query, db_cm)
     return dist[:, 0], idx[:, 0]
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _nn_matched_kernel(q_ref, db_ref, dist_ref, idx_ref, pay_ref,
+                       best_d, best_c, best_p, d_dim: int, f_dim: int,
+                       db_tile: int, n_db_tiles: int):
+    """Deferred-argmin sweep that ALSO carries the winner's payload.
+
+    db_ref is (F, TD): rows 0..D-1 are coordinates (sentinel-padded),
+    rows D..F-1 arbitrary per-point payload (e.g. the point itself,
+    normals, validity).  Each per-lane carry update selects the payload
+    alongside the distance, so the caller gets the matched payload
+    directly — replacing a post-hoc take_along_axis gather, which at 28k
+    rows costs more than the whole distance sweep on TPU.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d, jnp.inf)
+        best_c[:] = jnp.zeros_like(best_c)
+        best_p[:] = jnp.zeros_like(best_p)
+
+    q = q_ref[:]  # (TQ, D)
+    tq = q.shape[0]
+    chunks_per_tile = db_tile // 128
+    for c in range(chunks_per_tile):
+        sl = slice(c * 128, (c + 1) * 128)
+        dist = jnp.zeros((tq, 128), dtype=best_d.dtype)
+        for k in range(d_dim):
+            diff = q[:, k:k + 1] - db_ref[k:k + 1, sl]  # (TQ, 128)
+            dist = dist + diff * diff
+        better = dist < best_d[:]  # strict: earlier chunks win ties
+        best_d[:] = jnp.where(better, dist, best_d[:])
+        best_c[:] = jnp.where(better, j * chunks_per_tile + c, best_c[:])
+        for f in range(f_dim):
+            best_p[:, f * 128:(f + 1) * 128] = jnp.where(
+                better, db_ref[d_dim + f:d_dim + f + 1, sl],
+                best_p[:, f * 128:(f + 1) * 128],
+            )
+
+    @pl.when(j == n_db_tiles - 1)
+    def _epilogue():
+        bd = best_d[:]  # (TQ, 128)
+        m = jnp.min(bd, axis=1, keepdims=True)  # (TQ, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+        gidx = best_c[:] * 128 + lane
+        big = jnp.iinfo(jnp.int32).max
+        cand = jnp.where(bd == m, gidx, big)
+        winner_idx = jnp.min(cand, axis=1, keepdims=True)  # (TQ, 1)
+        dist_ref[:] = m
+        idx_ref[:] = winner_idx
+        one_hot = cand == winner_idx  # exactly one lane per row
+        for f in range(f_dim):
+            pf = best_p[:, f * 128:(f + 1) * 128]
+            pay_ref[:, f:f + 1] = jnp.sum(
+                jnp.where(one_hot, pf, 0.0), axis=1, keepdims=True
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d_dim", "q_tile", "db_tile", "interpret")
+)
+def _nn_matched_2d(
+    query: Array,
+    dbf_cm: Array,
+    d_dim: int,
+    q_tile: int = 256,
+    db_tile: int = 2048,
+    interpret: bool = False,
+):
+    """query: (Q, D); dbf_cm: (F, M) rows = D coords then payload."""
+    q = query.shape[0]
+    f_total = dbf_cm.shape[0]
+    f_dim = f_total - d_dim
+    m = dbf_cm.shape[1]
+    n_q_tiles = q // q_tile
+    n_db_tiles = m // db_tile
+
+    kernel = functools.partial(
+        _nn_matched_kernel, d_dim=d_dim, f_dim=f_dim, db_tile=db_tile,
+        n_db_tiles=n_db_tiles,
+    )
+    grid = (n_q_tiles, n_db_tiles)
+    dist, idx, pay = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, d_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_total, db_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, f_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, 1), query.dtype),
+            jax.ShapeDtypeStruct((q, 1), jnp.int32),
+            jax.ShapeDtypeStruct((q, f_dim), query.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, 128), query.dtype),
+            pltpu.VMEM((q_tile, 128), jnp.int32),
+            pltpu.VMEM((q_tile, 128 * f_dim), query.dtype),
+        ],
+        interpret=interpret,
+    )(query, dbf_cm)
+    return dist[:, 0], idx[:, 0], pay
+
+
+def nn_pallas_matched(
+    query: Array,
+    db: Array,
+    db_mask: Array | None = None,
+    payload: Array | None = None,
+    q_tile: int = 256,
+    db_tile: int = 2048,
+    interpret: bool = False,
+):
+    """Exact 1-NN returning (NNResult, matched_payload (..., Q, P)).
+
+    payload defaults to the db points themselves, so the common caller
+    gets the matched coordinates without any gather.  Extra per-point
+    features (normals, validity) can be appended by passing a (..., M, P)
+    payload explicitly.
+    """
+    *batch, q, d_dim = query.shape
+    m = db.shape[-2]
+    if payload is None:
+        payload = db
+
+    q_pad = _round_up(q, q_tile)
+    m_pad = _round_up(m, db_tile)
+    pad_q = [(0, 0)] * (query.ndim - 2) + [(0, q_pad - q), (0, 0)]
+    pad_m = [(0, 0)] * (db.ndim - 2) + [(0, m_pad - m), (0, 0)]
+    query_p = jnp.pad(query, pad_q)
+    sentinel = jnp.asarray(3e19, db.dtype)
+    if db_mask is not None:
+        db = jnp.where(db_mask[..., None], db, sentinel)
+    db_p = jnp.pad(db, pad_m, constant_values=sentinel)
+    pay_p = jnp.pad(
+        payload,
+        [(0, 0)] * (payload.ndim - 2) + [(0, m_pad - m), (0, 0)],
+    )
+    dbf_cm = jnp.concatenate(
+        [jnp.swapaxes(db_p, -1, -2), jnp.swapaxes(pay_p, -1, -2)], axis=-2
+    )
+
+    fn = functools.partial(
+        _nn_matched_2d, d_dim=d_dim, q_tile=q_tile, db_tile=db_tile,
+        interpret=interpret,
+    )
+    for _ in batch:
+        fn = jax.vmap(fn)
+    dist, idx, pay = fn(query_p, dbf_cm)
+    return (
+        NNResult(index=idx[..., :q], dist_sq=dist[..., :q]),
+        pay[..., :q, :],
+    )
 
 
 def nn_pallas(
@@ -173,28 +335,27 @@ def nn_pallas(
     """
     *batch, q, d_dim = query.shape
     m = db.shape[-2]
-    if db_mask is None:
-        db_mask = jnp.ones((*db.shape[:-1],), dtype=bool)
 
     q_pad = _round_up(q, q_tile)
     m_pad = _round_up(m, db_tile)
     pad_q = [(0, 0)] * (query.ndim - 2) + [(0, q_pad - q), (0, 0)]
     pad_m = [(0, 0)] * (db.ndim - 2) + [(0, m_pad - m), (0, 0)]
     query_p = jnp.pad(query, pad_q)
-    db_p = jnp.pad(db, pad_m)
-    mask_p = jnp.pad(
-        db_mask, [(0, 0)] * (db_mask.ndim - 1) + [(0, m_pad - m)]
-    )
+    # Invalid/padded db points become a distant sentinel: their squared
+    # distance overflows to +inf, so no in-kernel masking is needed.
+    sentinel = jnp.asarray(3e19, db.dtype)  # (2*3e19)^2 > f32 max
+    if db_mask is not None:
+        db = jnp.where(db_mask[..., None], db, sentinel)
+    db_p = jnp.pad(db, pad_m, constant_values=sentinel)
 
     db_cm = jnp.swapaxes(db_p, -1, -2)  # (..., D, M)
-    maskf = mask_p[..., None, :].astype(query.dtype)  # (..., 1, M)
 
     fn = functools.partial(
         _nn_pallas_2d, q_tile=q_tile, db_tile=db_tile, interpret=interpret
     )
     for _ in batch:
         fn = jax.vmap(fn)
-    dist, idx = fn(query_p, db_cm, maskf)
+    dist, idx = fn(query_p, db_cm)
     return NNResult(
         index=idx[..., :q], dist_sq=dist[..., :q]
     )

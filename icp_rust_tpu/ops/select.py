@@ -98,15 +98,17 @@ def masked_median_radix(x: Array, mask: Array):
     n = jnp.sum(mask, axis=-1).astype(jnp.int32)
     valid = n > 0
     h = n // 2
-    # Both order stats in ONE batched select (leading axis of size 2) so
-    # the radix passes share kernels instead of running twice in sequence.
-    ks = jnp.stack([jnp.maximum(h - 1, 0), jnp.maximum(h, 0)])
-    vs = kth_smallest_masked(
-        jnp.broadcast_to(x, (2, *x.shape)),
-        jnp.broadcast_to(mask, (2, *mask.shape)),
-        ks,
+    v_hi = kth_smallest_masked(x, mask, jnp.maximum(h, 0))
+    # The lower order stat s[h-1] (needed for even counts) does not need a
+    # second full select: if exactly h elements are < s[h] then s[h-1] is
+    # the max of them; otherwise s[h-1] duplicates s[h].  One count pass +
+    # one masked max — exact.
+    less = mask & (x < v_hi[..., None])
+    cnt_less = jnp.sum(less, axis=-1).astype(jnp.int32)
+    vmax_less = jnp.max(
+        jnp.where(less, x, jnp.asarray(-jnp.inf, x.dtype)), axis=-1
     )
-    v_lo, v_hi = vs[0], vs[1]
+    v_lo = jnp.where(cnt_less == h, vmax_less, v_hi)
     odd = (n % 2) == 1
     med = jnp.where(odd, v_hi, 0.5 * (v_lo + v_hi))
     return jnp.where(valid, med, jnp.zeros_like(med)), valid

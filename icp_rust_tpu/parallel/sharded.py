@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from icp_rust_tpu.config import ICPConfig
 from icp_rust_tpu.geometry.transform2d import RigidTransform2
-from icp_rust_tpu.models.icp2d import icp2d
+from icp_rust_tpu.models.icp2d import _is_identity, _outer_fixed_point, icp2d
 from icp_rust_tpu.ops import align2d
 from icp_rust_tpu.parallel.ring_nn import ring_nearest_neighbor
 
@@ -80,7 +80,7 @@ def sharded_icp2d(
         dst_s = dst_l.astype(dtype) / s
         t0s = RigidTransform2(t0.rot.astype(dtype), t0.t.astype(dtype) / s)
 
-        def outer(t, _):
+        def outer(t):
             src_t = t.apply_points(src_s)
             match = ring_nearest_neighbor(
                 src_t, dst_s, dmask_l, point_axis, tile=config.nn_dst_tile
@@ -96,9 +96,12 @@ def sharded_icp2d(
             dt = align2d.estimate_transform(
                 src_t, matched, smask_l, config, axis_name=point_axis
             )
-            return dt.compose(t), None
+            # dt is replicated across the point axis (psum'd solve), so
+            # the fixed-point exit decision is consistent shard-wide and
+            # the in-body collectives stay aligned.
+            return dt.compose(t), _is_identity(dt)
 
-        t, _ = jax.lax.scan(outer, t0s, None, length=config.outer_iters)
+        t = _outer_fixed_point(outer, t0s, config.outer_iters)
         return RigidTransform2(t.rot, t.t * s)
 
     spec = P(point_axis)
@@ -134,7 +137,7 @@ def dp_sp_icp2d(
         dst_s = dst_l.astype(dtype) / s
         t0s = RigidTransform2(t0.rot.astype(dtype), t0.t.astype(dtype) / s)
 
-        def outer(t, _):
+        def outer(t):
             src_t = t.apply_points(src_s)
             match = ring_nearest_neighbor(
                 src_t, dst_s, dmask_l, point_axis, tile=config.nn_dst_tile
@@ -148,9 +151,12 @@ def dp_sp_icp2d(
             dt = align2d.estimate_transform(
                 src_t, matched, smask_l, config, axis_name=point_axis
             )
-            return dt.compose(t), None
+            # dt is replicated across the point axis (psum'd solve), so
+            # the fixed-point exit decision is consistent shard-wide and
+            # the in-body collectives stay aligned.
+            return dt.compose(t), _is_identity(dt)
 
-        t, _ = jax.lax.scan(outer, t0s, None, length=config.outer_iters)
+        t = _outer_fixed_point(outer, t0s, config.outer_iters)
         return RigidTransform2(t.rot, t.t * s)
 
     pt = P(pair_axis, point_axis)
