@@ -139,10 +139,11 @@ def run_odometry_fused(
     msk = jnp.asarray(masks)
     rots, ts, path = _odometry_scan(pts, msk, config)
     path = np.asarray(path)
-    transforms = [
-        RigidTransform2(rots[i], ts[i]) for i in range(path.shape[0])
-    ]
-    return transforms, path
+    # One BATCHED transform (leading frame axis), not a per-frame list:
+    # slicing rots[i]/ts[i] here would issue 2 dynamic-slice dispatches
+    # per frame, which on a high-latency link costs more than the whole
+    # device program.
+    return RigidTransform2(rots, ts), path
 
 
 def ate_rmse(path_a: np.ndarray, path_b: np.ndarray) -> float:
