@@ -62,10 +62,12 @@ class ICPConfig:
     # Tile sizes for the Pallas NN kernel (queries x database).
     nn_query_tile: int = 256
     nn_dst_tile: int = 512
-    # Inner GN update backend: "xla" (fused einsums; any platform, exact
-    # parity path) | "pallas" (single-launch fused kernel incl. in-kernel
-    # radix-select sigma; TPU f32, reduction order differs at roundoff).
-    align_backend: str = "xla"
+    # Inner GN update backend: "pallas" (single-launch fused kernel incl.
+    # in-kernel radix-select sigma; taken only on TPU + f32 + unbatched,
+    # reduction order differs from "xla" at f32 roundoff) | "xla" (fused
+    # einsums; every platform; the bit-reproducible parity path, and the
+    # automatic fallback whenever the pallas conditions don't hold).
+    align_backend: str = "pallas"
 
     def with_(self, **kwargs) -> "ICPConfig":
         return dataclasses.replace(self, **kwargs)

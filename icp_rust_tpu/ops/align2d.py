@@ -247,6 +247,7 @@ def estimate_transform(
         and src.ndim == 2
         and src.shape[-2] % 128 == 0
         and src.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
     )
 
     def body(carry):

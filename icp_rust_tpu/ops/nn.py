@@ -157,13 +157,15 @@ def nearest_neighbor(
     if backend == "pallas":
         from icp_rust_tpu.ops import nn_pallas
 
-        return nn_pallas.nn_pallas(query, db, db_mask, db_tile=2048)
+        return nn_pallas.nn_pallas(query, db, db_mask, q_tile=512,
+                                       db_tile=2048)
     if backend == "auto":
         try:
             from icp_rust_tpu.ops import nn_pallas
 
             if nn_pallas.available():
-                return nn_pallas.nn_pallas(query, db, db_mask, db_tile=2048)
+                return nn_pallas.nn_pallas(query, db, db_mask, q_tile=512,
+                                       db_tile=2048)
         except ImportError:
             pass
     return nn_xla(query, db, db_mask, tile=tile, method=method)
