@@ -5,4 +5,6 @@ cd "$(dirname "$0")"
 mkdir -p lib
 g++ -O3 -march=native -std=c++17 -fPIC -shared \
     -o lib/libicp_oracle.so src/icp_oracle.cpp
-echo "built lib/libicp_oracle.so"
+g++ -O3 -march=native -std=c++17 -fPIC -shared \
+    -o lib/libscan_loader.so src/scan_loader.cpp
+echo "built lib/libicp_oracle.so lib/libscan_loader.so"
