@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness (north-star: >=80% efficiency 1 -> N).
+
+Real multi-chip hardware is not reachable from this environment (one
+tunnelled TPU core), so this harness has two modes:
+
+- default (CPU, virtual devices): mechanical validation of the dp x sp
+  shard_map program — it partitions, the collectives (psum GN reduction,
+  ring-ppermute NN, all_gather sigma) run, and the batched throughput
+  scales across the fake mesh.  Wall-clock efficiency on a host CPU is
+  NOT the quantity of interest (the 'devices' share one socket); the
+  number that matters on real hardware comes from running this same
+  script there.
+- on a real multi-chip slice: run with JAX_PLATFORMS unset and it
+  reports pairs/s at mesh sizes 1, 2, ..., N plus efficiency vs linear.
+
+Prints one JSON line per mesh size.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("SCALING_CPU", "1") == "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count="
+        + os.environ.get("SCALING_DEVICES", "8")
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "tpu":
+    from jax._src import xla_bridge
+
+    xla_bridge._backend_factories.pop("axon", None)
+    jax.config.update("jax_platforms", "cpu")
+
+from icp_rust_tpu.config import ICPConfig
+from icp_rust_tpu.geometry.transform2d import RigidTransform2
+from icp_rust_tpu.parallel import make_mesh
+from icp_rust_tpu.parallel.sharded import dp_sp_icp2d
+from icp_rust_tpu.utils import io as scan_io
+
+
+def main():
+    n_dev = len(jax.devices())
+    frames = scan_io.load_scan2d_sequence(
+        "/root/reference/scans/2d", limit=33
+    )
+    pts, mask = scan_io.pad_points(frames, multiple=256)
+    cfg = ICPConfig(
+        compute_dtype=jnp.float32, point_scale=3000.0, det_rel_eps=1e-9,
+        outer_iters=5, nn_dst_tile=256,
+    )
+    b_total = 32
+    src = jnp.asarray(pts[:-1][:b_total], cfg.compute_dtype)
+    dst = jnp.asarray(pts[1:][:b_total], cfg.compute_dtype)
+    sm = jnp.asarray(mask[:-1][:b_total])
+    dm = jnp.asarray(mask[1:][:b_total])
+    t0s = RigidTransform2.identity((b_total,), cfg.compute_dtype)
+
+    base = None
+    sizes = [s for s in (1, 2, 4, 8, 16) if s <= n_dev]
+    for s in sizes:
+        mesh = make_mesh(("dp", "sp"), (s, 1), devices=jax.devices()[:s])
+        fn = jax.jit(lambda *a, m=mesh: dp_sp_icp2d(*a, config=cfg, mesh=m))
+        out = fn(src, dst, sm, dm, t0s)
+        jax.block_until_ready(out.t)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(src, dst, sm, dm, t0s)
+        jax.block_until_ready(out.t)
+        dt = (time.perf_counter() - t0) / 3
+        pps = b_total / dt
+        if base is None:
+            base = pps
+        eff = pps / (base * s)
+        print(json.dumps({
+            "metric": "dp_scaling_pairs_per_s",
+            "mesh": f"dp={s}",
+            "value": round(pps, 2),
+            "efficiency_vs_linear": round(eff, 3),
+            "backend": jax.default_backend(),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,7 @@ def submap_step(
     merged = jnp.concatenate([map_pts, scan_in_map], axis=0)
     merged_mask = jnp.concatenate([map_mask, scan_mask], axis=0)
     vox = voxel_downsample(merged, merged_mask, voxel_size, capacity)
-    return t, vox.points, vox.mask
+    return t, vox.points, vox.mask, vox.n_cells
 
 
 def run_submap_odometry(
@@ -80,12 +80,24 @@ def run_submap_odometry(
     vox = voxel_downsample(pts[0], msk[0], voxel_size, capacity)
     map_pts, map_mask = vox.points, vox.mask
     t = RigidTransform2.identity(dtype=dtype)
-    transforms, path = [], []
+    transforms, path, cells = [], [], [vox.n_cells]
     for i in range(1, pts.shape[0]):
-        t, map_pts, map_mask = submap_step(
+        t, map_pts, map_mask, n_cells = submap_step(
             map_pts, map_mask, pts[i], msk[i], t, config, voxel_size,
             capacity,
         )
         transforms.append(t)
         path.append(t.t)  # sensor position in map frame
+        cells.append(n_cells)
+    max_cells = int(np.max(np.asarray(jnp.stack(cells))))
+    if max_cells > capacity:
+        import warnings
+
+        warnings.warn(
+            f"submap voxel capacity overflow: {max_cells} occupied cells "
+            f"> capacity {capacity}; the map was truncated (spatially "
+            f"biased) — grow `capacity` or the voxel size",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return transforms, np.asarray(jnp.stack(path))

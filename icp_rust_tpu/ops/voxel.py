@@ -21,6 +21,9 @@ _MAX_CELLS_PER_AXIS = 1024
 class VoxelResult(NamedTuple):
     points: Array  # (capacity, D) voxel centroids (zeros where invalid)
     mask: Array    # (capacity,) validity
+    n_cells: Array  # () int32: occupied voxel count BEFORE truncation —
+                    # if > capacity, cells were dropped (in cell-id order)
+                    # and callers should grow capacity
 
 
 def voxel_downsample(
@@ -68,4 +71,5 @@ def voxel_downsample(
     out_mask = cnt[:capacity] > 0
     centroids = acc[:capacity] / jnp.maximum(cnt[:capacity, None], 1.0)
     centroids = jnp.where(out_mask[:, None], centroids, 0.0)
-    return VoxelResult(points=centroids, mask=out_mask)
+    n_cells = jnp.sum(first.astype(jnp.int32))
+    return VoxelResult(points=centroids, mask=out_mask, n_cells=n_cells)
