@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Pose-graph optimization benchmark (BASELINE.json configs[4]): a long
+noisy odometry chain with loop-closure edges, solved by the PCG +
+block-Jacobi GN engine.  Prints one JSON line."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from icp_rust_tpu.models import pose_graph as pg
+
+N_POSES = int(os.environ.get("BENCH_POSES", "2048"))
+N_LOOPS = int(os.environ.get("BENCH_LOOPS", "256"))
+
+
+def make_graph(n_poses, n_loops, seed=0):
+    """Circular trajectory with noisy odometry + exact loop closures."""
+    rng = np.random.default_rng(seed)
+    theta = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
+    radius = 20.0
+    gt_xy = np.stack([radius * np.cos(theta), radius * np.sin(theta)], -1)
+    gt_yaw = theta + np.pi / 2
+
+    def rot(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)
+
+    gt_R = rot(gt_yaw)
+
+    # odometry measurements: relative pose i->i+1 with noise
+    ei = np.arange(n_poses - 1)
+    ej = ei + 1
+    z_R, z_t = [], []
+    for i in range(n_poses - 1):
+        Ri, Rj = gt_R[i], gt_R[i + 1]
+        dR = Ri.T @ Rj
+        dt = Ri.T @ (gt_xy[i + 1] - gt_xy[i])
+        ang = np.arctan2(dR[1, 0], dR[0, 0]) + rng.normal(0, 0.005)
+        z_R.append(rot(np.array(ang)))
+        z_t.append(dt + rng.normal(0, 0.02, 2))
+    # loop closures: exact relative poses between random distant pairs
+    li = rng.integers(0, n_poses, n_loops)
+    lj = (li + rng.integers(n_poses // 4, n_poses // 2, n_loops)) % n_poses
+    for a, b in zip(li, lj):
+        dR = gt_R[a].T @ gt_R[b]
+        dt = gt_R[a].T @ (gt_xy[b] - gt_xy[a])
+        z_R.append(dR)
+        z_t.append(dt)
+    ei = np.concatenate([ei, li])
+    ej = np.concatenate([ej, lj])
+    z_R = np.stack(z_R)
+    z_t = np.stack(z_t)
+
+    # initial poses: integrate the noisy odometry (drifts off the circle)
+    init_R = [gt_R[0]]
+    init_t = [gt_xy[0]]
+    for i in range(n_poses - 1):
+        init_R.append(init_R[-1] @ z_R[i])
+        init_t.append(init_t[-1] + init_R[-2] @ z_t[i])
+    info = np.ones(len(ei))
+
+    from icp_rust_tpu.geometry.transform2d import RigidTransform2
+
+    e = len(ei)
+    graph = pg.PoseGraph(
+        poses=RigidTransform2(
+            jnp.asarray(np.stack(init_R), jnp.float32),
+            jnp.asarray(np.stack(init_t), jnp.float32),
+        ),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        meas=RigidTransform2(
+            jnp.asarray(z_R, jnp.float32), jnp.asarray(z_t, jnp.float32)
+        ),
+        info=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (e, 3, 3)),
+        edge_mask=jnp.ones((e,), bool),
+    )
+    return graph, gt_xy
+
+
+def main():
+    graph, gt_xy = make_graph(N_POSES, N_LOOPS)
+    e0 = float(pg.graph_error(graph))
+
+    solve = os.environ.get("BENCH_GRAPH_SOLVE", "cg")
+    # 30 GN x 400 PCG converges the 2048-pose loop (residual 0.10, RMSE
+    # 0.06m) 3.5x faster than the dense LU path on TPU.
+    run = jax.jit(lambda g: pg.optimize(
+        g, iters=30, solve=solve, cg_iters=400))
+    out = run(graph)
+    np.asarray(out.poses.t)[:1]
+    t0 = time.perf_counter()
+    out = run(graph)
+    np.asarray(out.poses.t)[:1]
+    dt = time.perf_counter() - t0
+
+    e1 = float(pg.graph_error(out))
+    # alignment-free accuracy proxy: RMSE to ground truth after removing
+    # the gauge (pose 0 pinned by the prior)
+    err = np.linalg.norm(np.asarray(out.poses.t) - gt_xy, axis=1)
+    print(json.dumps({
+        "metric": "pose_graph_optimize_seconds",
+        "value": round(dt, 4),
+        "unit": "s",
+        "poses": N_POSES,
+        "edges": int(len(np.asarray(graph.edge_i))),
+        "error_before": round(e0, 3),
+        "error_after": round(e1, 5),
+        "rmse_vs_gt_m": round(float(np.sqrt((err**2).mean())), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
