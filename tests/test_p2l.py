@@ -131,3 +131,33 @@ def test_icp_p2l_outlier_robustness():
     want = np.asarray(t_true.apply_points(jnp.asarray(src_np, F64)))[good]
     err = np.linalg.norm(pred - want, axis=1)
     assert np.median(err) < 5e-3, np.median(err)
+
+
+def test_voxel_normals_recover_plane():
+    """Voxel-PCA normals on a tilted noisy plane stay within ~2 deg."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.ops.normals import estimate_normals_voxel
+
+    rng = np.random.default_rng(0)
+    n = 1500
+    uv = rng.uniform(-2, 2, (n, 2))
+    nrm = np.array([0.3, -0.5, 0.81])
+    nrm /= np.linalg.norm(nrm)
+    b1 = np.cross(nrm, [0, 0, 1.0])
+    b1 /= np.linalg.norm(b1)
+    b2 = np.cross(nrm, b1)
+    pts = (uv[:, :1] * b1 + uv[:, 1:] * b2 + np.array([0, 0, 5.0])
+           + rng.normal(0, 0.003, (n, 3)))
+    mask = np.ones(n, bool)
+    nv, ok = estimate_normals_voxel(
+        jnp.asarray(pts, jnp.float32), jnp.asarray(mask), 0.4
+    )
+    assert int(ok.sum()) > 0.9 * n
+    est = np.asarray(nv)[np.asarray(ok)]
+    ang = np.degrees(np.arccos(np.clip(np.abs(est @ nrm), 0, 1)))
+    assert ang.mean() < 2.0
+    # orientation: toward the origin (sensor below the plane at z=5)
+    to_sensor = -pts[np.asarray(ok)]
+    assert (np.sum(est * to_sensor, axis=1) >= 0).all()
