@@ -69,3 +69,59 @@ def ring_nearest_neighbor(
     owner = (my - (n_dev - 1)) % n_dev
     best_d, best_i = fold(best_d, best_i, db, dbm, owner)
     return NNResult(index=best_i, dist_sq=best_d)
+
+
+def ring_nearest_neighbor_matched(
+    query: Array,
+    db_shard: Array,
+    db_shard_mask: Array,
+    axis_name: str,
+    tile: int = 2048,
+):
+    """Ring 1-NN that also carries the MATCHED POINT through the ring.
+
+    Returns (NNResult, matched (Q, D)).  The winner's coordinates fold
+    into the carry alongside (distance, index), so callers never need the
+    unsharded destination cloud — the all_gather + global take_along_axis
+    that ring_nearest_neighbor callers otherwise do (which re-replicates
+    the very array the sharding was supposed to split) disappears.  Peak
+    per-device memory stays O(M/n) for the destination axis.
+    """
+    n_dev = lax.axis_size(axis_name)
+    my = lax.axis_index(axis_name)
+    m_local = db_shard.shape[-2]
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    best_d = jnp.full(query.shape[:-1], jnp.inf, dtype=query.dtype)
+    best_i = jnp.zeros(query.shape[:-1], dtype=jnp.int32)
+    best_p = jnp.zeros(query.shape, dtype=query.dtype)
+
+    def fold(best_d, best_i, best_p, db, dbm, owner):
+        res = nn_xla(query, db, dbm, tile=tile)
+        gidx = res.index + owner * m_local
+        matched = jnp.take_along_axis(db, res.index[..., None], axis=-2)
+        better = (res.dist_sq < best_d) | (
+            (res.dist_sq == best_d) & (gidx < best_i)
+        )
+        return (
+            jnp.where(better, res.dist_sq, best_d),
+            jnp.where(better, gidx, best_i),
+            jnp.where(better[..., None], matched, best_p),
+        )
+
+    def step(i, carry):
+        best_d, best_i, best_p, db, dbm = carry
+        owner = (my - i) % n_dev
+        best_d, best_i, best_p = fold(best_d, best_i, best_p, db, dbm,
+                                      owner)
+        db = lax.ppermute(db, axis_name, perm)
+        dbm = lax.ppermute(dbm, axis_name, perm)
+        return (best_d, best_i, best_p, db, dbm)
+
+    best_d, best_i, best_p, db, dbm = lax.fori_loop(
+        0, n_dev - 1, step,
+        (best_d, best_i, best_p, db_shard, db_shard_mask),
+    )
+    owner = (my - (n_dev - 1)) % n_dev
+    best_d, best_i, best_p = fold(best_d, best_i, best_p, db, dbm, owner)
+    return NNResult(index=best_i, dist_sq=best_d), best_p

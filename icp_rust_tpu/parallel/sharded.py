@@ -25,7 +25,10 @@ from icp_rust_tpu.config import ICPConfig
 from icp_rust_tpu.geometry.transform2d import RigidTransform2
 from icp_rust_tpu.models.icp2d import _is_identity, _outer_fixed_point, icp2d
 from icp_rust_tpu.ops import align2d
-from icp_rust_tpu.parallel.ring_nn import ring_nearest_neighbor
+from icp_rust_tpu.parallel.ring_nn import (
+    ring_nearest_neighbor,
+    ring_nearest_neighbor_matched,
+)
 
 
 def sharded_estimate_transform(
@@ -82,16 +85,12 @@ def sharded_icp2d(
 
         def outer(t):
             src_t = t.apply_points(src_s)
-            match = ring_nearest_neighbor(
+            # The matched-payload ring folds the winning point's
+            # coordinates through the ppermute carry, so the destination
+            # cloud is NEVER re-replicated (no all_gather): per-device
+            # memory stays O(M/n) on the sharded axis.
+            match, matched = ring_nearest_neighbor_matched(
                 src_t, dst_s, dmask_l, point_axis, tile=config.nn_dst_tile
-            )
-            # Gather matched points from the sharded destination cloud:
-            # all_gather the (small) shard and index globally.
-            dst_all = jax.lax.all_gather(
-                dst_s, point_axis, axis=-2, tiled=True
-            )
-            matched = jnp.take_along_axis(
-                dst_all, match.index[..., None], axis=-2
             )
             dt = align2d.estimate_transform(
                 src_t, matched, smask_l, config, axis_name=point_axis
@@ -139,14 +138,12 @@ def dp_sp_icp2d(
 
         def outer(t):
             src_t = t.apply_points(src_s)
-            match = ring_nearest_neighbor(
+            # The matched-payload ring folds the winning point's
+            # coordinates through the ppermute carry, so the destination
+            # cloud is NEVER re-replicated (no all_gather): per-device
+            # memory stays O(M/n) on the sharded axis.
+            match, matched = ring_nearest_neighbor_matched(
                 src_t, dst_s, dmask_l, point_axis, tile=config.nn_dst_tile
-            )
-            dst_all = jax.lax.all_gather(
-                dst_s, point_axis, axis=-2, tiled=True
-            )
-            matched = jnp.take_along_axis(
-                dst_all, match.index[..., None], axis=-2
             )
             dt = align2d.estimate_transform(
                 src_t, matched, smask_l, config, axis_name=point_axis

@@ -115,3 +115,31 @@ def test_batched_icp2d_pair_sharded_matches_vmap():
         np.testing.assert_allclose(
             np.asarray(t_dp.t[b]), np.asarray(t_one.t), atol=1e-12
         )
+
+
+def test_ring_nn_matched_payload():
+    """Matched-payload ring: winner's coordinates come through the carry
+    identical to a global gather, with NO all_gather of the dst cloud."""
+    from icp_rust_tpu.parallel.ring_nn import ring_nearest_neighbor_matched
+
+    mesh = make_mesh(("sp",), (8,))
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(-5, 5, (64, 2)))
+    db = jnp.asarray(rng.uniform(-5, 5, (128, 2)))
+    dbm = jnp.asarray(rng.uniform(size=128) > 0.3)
+
+    fn = jax.shard_map(
+        lambda q_l, db_l, m_l: ring_nearest_neighbor_matched(
+            q_l, db_l, m_l, "sp"),
+        mesh=mesh,
+        in_specs=(P("sp"), P("sp"), P("sp")),
+        out_specs=P("sp"),
+        check_vma=False,
+    )
+    res, matched = fn(q, db, dbm)
+    ref = nn_xla(q, db, dbm)
+    np.testing.assert_array_equal(np.asarray(res.index),
+                                  np.asarray(ref.index))
+    np.testing.assert_array_equal(
+        np.asarray(matched), np.asarray(db)[np.asarray(ref.index)]
+    )
