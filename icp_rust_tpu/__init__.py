@@ -26,6 +26,8 @@ Layout
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # TPU matmuls on f32 inputs default to one-pass bf16 — fine for neural
@@ -33,8 +35,16 @@ import jax as _jax
 # apply_points/compose lose ~8 mantissa bits per frame and the odometry
 # drift compounds (measured: scans/2d trajectory ATE 194mm vs 0.5mm on
 # CPU with identical f32 code).  Every matmul in this engine is tiny
-# (2x2/3x3 contractions), so full-f32 precision costs nothing.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# (2x2/3x3 contractions), so full-f32 precision costs nothing HERE — but
+# it is process-global state, so we only set it when the host application
+# hasn't chosen a precision itself, and ICP_RUST_TPU_NO_PRECISION_OVERRIDE=1
+# opts out entirely (then gate your own calls with
+# `with jax.default_matmul_precision("highest"): ...`).
+if (
+    _os.environ.get("ICP_RUST_TPU_NO_PRECISION_OVERRIDE") != "1"
+    and _jax.config.jax_default_matmul_precision is None
+):
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from icp_rust_tpu.config import ICPConfig, REFERENCE_CONFIG
 

@@ -59,9 +59,12 @@ class ICPConfig:
     # Distance evaluation: "direct" (exact VPU differences) | "mxu"
     # (matmul identity, HIGHEST precision).  See ops/nn.py.
     nn_method: str = "direct"
-    # Tile sizes for the Pallas NN kernel (queries x database).
-    nn_query_tile: int = 256
-    nn_dst_tile: int = 512
+    # NN tile sizes: nn_dst_tile is the database tile of BOTH the XLA
+    # sweep and the Pallas kernel; nn_query_tile is the Pallas query
+    # tile.  Defaults are the measured-best on v5e at 28800^2
+    # (benchmarks/profile_nn_tiles.py / profile_overhead2.py).
+    nn_query_tile: int = 512
+    nn_dst_tile: int = 2048
     # Inner GN update backend: "pallas" (single-launch fused kernel incl.
     # in-kernel radix-select sigma; taken only on TPU + f32 + unbatched,
     # reduction order differs from "xla" at f32 roundoff) | "xla" (fused

@@ -49,15 +49,16 @@ def _unscale_transform(t: RigidTransform2, s: float) -> RigidTransform2:
     return RigidTransform2(rot=t.rot, t=t.t * s) if s != 1.0 else t
 
 
-def _is_identity(dt: RigidTransform2):
-    """Per-batch-lane: is dt EXACTLY the identity (bitwise)?"""
-    eye = jnp.eye(2, dtype=dt.rot.dtype)
+def _is_identity(dt):
+    """Per-batch-lane: is dt EXACTLY the identity (bitwise)?  Works for
+    any rigid transform (SE(2) or SE(3)) via the rotation's size."""
+    eye = jnp.eye(dt.rot.shape[-1], dtype=dt.rot.dtype)
     return jnp.all(dt.rot == eye, axis=(-2, -1)) & jnp.all(
         dt.t == 0.0, axis=-1
     )
 
 
-def _outer_fixed_point(step, t0: RigidTransform2, max_iters: int):
+def _outer_fixed_point(step, t0, max_iters: int):
     """Run the outer ICP loop with an EXACT fixed-point early exit.
 
     The reference runs exactly ``max_iter`` outer iterations with no
@@ -112,6 +113,7 @@ def icp2d(
         match = nearest_neighbor(
             src_t, dst, dst_mask, backend=config.nn_backend,
             tile=config.nn_dst_tile, method=config.nn_method,
+            q_tile=config.nn_query_tile,
         )
         matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
         dt = align2d.estimate_transform(src_t, matched, src_mask, config)
@@ -151,6 +153,7 @@ def icp3d_planar(
         match = nearest_neighbor(
             src_t, dst, dst_mask, backend=config.nn_backend,
             tile=config.nn_dst_tile, method=config.nn_method,
+            q_tile=config.nn_query_tile,
         )
         matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
         dt = align2d.estimate_transform(

@@ -16,6 +16,7 @@ from jax import Array
 
 from icp_rust_tpu.config import ICPConfig
 from icp_rust_tpu.geometry.transform3d import RigidTransform3
+from icp_rust_tpu.models.icp2d import _is_identity, _outer_fixed_point
 from icp_rust_tpu.ops import align3d
 from icp_rust_tpu.ops.nn import nearest_neighbor
 from icp_rust_tpu.ops.normals import estimate_normals
@@ -56,6 +57,7 @@ def icp_point_to_plane(
         match = nearest_neighbor(
             src_t, dst, dst_mask, backend=config.nn_backend,
             tile=config.nn_dst_tile, method=config.nn_method,
+            q_tile=config.nn_query_tile,
         )
         matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
         matched_n = jnp.take_along_axis(
@@ -66,25 +68,8 @@ def icp_point_to_plane(
         dt = align3d.estimate_transform_p2l(
             src_t, matched, matched_n, pair_mask, config
         )
-        eye = jnp.eye(3, dtype=dt.rot.dtype)
-        fixed = jnp.all(dt.rot == eye, axis=(-2, -1)) & jnp.all(
-            dt.t == 0.0, axis=-1
-        )
-        return dt.compose(t), fixed
+        return dt.compose(t), _is_identity(dt)
 
-    # Exact fixed-point early exit: an identity dT reproduces itself, so
-    # stopping is bit-identical to running all outer_iters (see
-    # models/icp2d._outer_fixed_point).
-    def cond(carry):
-        _, it, fixed = carry
-        return (it < config.outer_iters) & ~jnp.all(fixed)
-
-    def body(carry):
-        t, it, _ = carry
-        t_next, fixed = outer(t)
-        return (t_next, it + 1, fixed)
-
-    t, _, _ = jax.lax.while_loop(
-        cond, body, (t0, 0, jnp.zeros(t0.t.shape[:-1], bool))
-    )
+    # Exact fixed-point early exit, shared with the 2D drivers.
+    t = _outer_fixed_point(outer, t0, config.outer_iters)
     return RigidTransform3(t.rot, t.t * s)

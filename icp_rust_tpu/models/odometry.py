@@ -82,10 +82,11 @@ def run_odometry_device(
     of examples/scan2d.rs's loop).  Dispatch is async; results are fetched
     once at the end.
 
-    Note: a single lax.scan over the frame axis compiles but was measured
-    ~25x slower at 28k points/frame than this dispatch loop (XLA schedules
-    the nested scan/while far worse); the per-step dispatch overhead is
-    ~1 ms, negligible against a frame's compute.
+    Note: the "scan is slower" lore from early measurements was a timing
+    artifact of the remote tunnel (see docs/DESIGN.md methodology); the
+    fused lax.scan runner below measures the same per-frame cost and pays
+    the dispatch round trip once per SEQUENCE — prefer run_odometry_fused
+    unless you need per-frame host interleaving.
 
     frames: (F, N, D) padded; masks: (F, N).  Frame 0 is the fixed src;
     returns (transforms list, path (F-1, 2) numpy).
@@ -126,14 +127,16 @@ def run_odometry_fused(
     """Whole-sequence odometry as ONE compiled program (lax.scan over the
     frame axis) — a single device dispatch for the full trajectory.
 
-    On the remote-tunnelled TPU each dispatch costs ~27 ms of round-trip
-    latency plus ~100 ms of per-step queueing, so the per-frame dispatch
-    loop of run_odometry_device loses ~1/3 of its throughput at 28k-point
-    frames; fusing the sequence removes all of it.  Same semantics
-    (scan-to-first-scan, warm start, src/lib.rs:105-130 parity).
+    On the remote-tunnelled TPU a dispatch costs ~27 ms of round-trip
+    latency; fusing the sequence pays it once instead of once per frame,
+    and nothing host-side can stall the inter-frame pipeline.  Same
+    semantics (scan-to-first-scan, warm start, src/lib.rs:105-130
+    parity), same measured per-frame device cost as the dispatch loop.
 
-    frames: (F, N, D) padded; masks: (F, N).  Returns (transforms list,
-    path (F-1, 2) numpy).
+    frames: (F, N, D) padded; masks: (F, N).  Returns (transforms, path):
+    ``transforms`` is ONE batched RigidTransform2 with a leading (F-1,)
+    frame axis (index it lazily: transforms.rot[i] / transforms.t[i]),
+    ``path`` a (F-1, 2) numpy trajectory.
     """
     pts = jnp.asarray(frames, config.compute_dtype)
     msk = jnp.asarray(masks)

@@ -32,8 +32,8 @@ distance comparison — they only consume bucket capacity.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -45,17 +45,31 @@ from icp_rust_tpu.ops.nn import NNResult
 _PRIMES = (73856093, 19349663, 83492791)
 
 
-class HashGrid(NamedTuple):
-    """Device-resident spatial hash over one point cloud."""
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("points", "index", "starts", "counts", "cell_size",
+                 "overflow_frac"),
+    meta_fields=("table_size", "bucket_cap"),
+)
+@dataclasses.dataclass(frozen=True)
+class HashGrid:
+    """Device-resident spatial hash over one point cloud.
+
+    table_size/bucket_cap are STATIC pytree metadata (they shape the
+    query's unrolled candidate fetch), so a HashGrid crosses jit
+    boundaries without tracing them.
+    """
 
     points: Array        # (M, D) sorted by slot
     index: Array         # (M,) original db index per sorted row
     starts: Array        # (T + 1,) slot -> first row in `points`
     counts: Array        # (T,) points per slot
     cell_size: Array     # () the search radius r
-    table_size: int
     overflow_frac: Array  # () fraction of points beyond bucket_cap in
                           # their slot (diagnostic; 0.0 = fully exact)
+    table_size: int = 1 << 14
+    bucket_cap: int = 16  # candidates kept per slot at query time; the
+                          # overflow diagnostic is computed for THIS cap
 
 
 def _hash_cells(cells: Array, table_size: int) -> Array:
@@ -106,6 +120,7 @@ def build_grid(
         counts=counts[:-1],
         cell_size=cell_size,
         table_size=table_size,
+        bucket_cap=bucket_cap,
         overflow_frac=overflow,
     )
 
@@ -125,13 +140,17 @@ def _neighbor_offsets(d: int) -> Array:
 def nn_gridhash(
     query: Array,
     grid: HashGrid,
-    bucket_cap: int = 16,
+    bucket_cap: int | None = None,
 ) -> NNResult:
     """query: (Q, D) -> NNResult with +inf dist_sq where nothing in radius.
 
     index is 0 (a safe gatherable value) where invalid — always AND the
-    caller's weight mask with ``dist_sq < inf``.
+    caller's weight mask with ``dist_sq < inf``.  bucket_cap defaults to
+    the grid's own cap, so the build-time overflow diagnostic describes
+    exactly what the query truncates.
     """
+    if bucket_cap is None:
+        bucket_cap = grid.bucket_cap
     q, d = query.shape
     r = grid.cell_size
     cells = jnp.floor(query / r).astype(jnp.int32)  # (Q, D)

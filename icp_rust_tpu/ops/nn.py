@@ -142,6 +142,7 @@ def nearest_neighbor(
     backend: str = "auto",
     tile: int = 2048,
     method: str = "direct",
+    q_tile: int = 512,
 ) -> NNResult:
     """Dispatching entry point; see module docstring.
 
@@ -157,15 +158,17 @@ def nearest_neighbor(
     if backend == "pallas":
         from icp_rust_tpu.ops import nn_pallas
 
-        return nn_pallas.nn_pallas(query, db, db_mask, q_tile=512,
-                                       db_tile=2048)
-    if backend == "auto":
+        return nn_pallas.nn_pallas(query, db, db_mask, q_tile=q_tile,
+                                   db_tile=tile)
+    if backend == "auto" and method == "direct":
+        # The Pallas kernel computes direct distances only; "mxu" falls
+        # through to the XLA path.
         try:
             from icp_rust_tpu.ops import nn_pallas
 
             if nn_pallas.available():
-                return nn_pallas.nn_pallas(query, db, db_mask, q_tile=512,
-                                       db_tile=2048)
+                return nn_pallas.nn_pallas(query, db, db_mask,
+                                           q_tile=q_tile, db_tile=tile)
         except ImportError:
             pass
     return nn_xla(query, db, db_mask, tile=tile, method=method)

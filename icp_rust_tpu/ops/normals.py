@@ -186,10 +186,13 @@ def estimate_normals_voxel(
     vox_n = evecs[..., :, 0]  # (capacity, 3) smallest eigenvector
     vox_ok = cnt[:capacity] >= min_points
 
-    # scatter voxel normals back to the ORIGINAL point order
+    # scatter voxel normals back to the ORIGINAL point order; points in
+    # voxels dropped by capacity (seg >= capacity) are INVALID, not
+    # silently mapped to another voxel's plane
+    in_range = seg < capacity
     pt_seg_sorted = jnp.clip(seg, 0, capacity - 1)
     pt_n_sorted = vox_n[pt_seg_sorted]
-    pt_ok_sorted = vox_ok[pt_seg_sorted] & svalid
+    pt_ok_sorted = vox_ok[pt_seg_sorted] & svalid & in_range
     inv = jnp.zeros((n_pts,), jnp.int32).at[order].set(
         jnp.arange(n_pts, dtype=jnp.int32)
     )

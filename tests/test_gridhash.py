@@ -85,3 +85,21 @@ def test_gridhash_overflow_reported():
     grid = build_grid(db, jnp.ones(100, bool), 0.1, table_size=64,
                       bucket_cap=4)
     assert float(grid.overflow_frac) > 0.9
+
+
+def test_gridhash_default_cap_through_jit():
+    """The grid's own bucket_cap drives the query, incl. across jit."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    db = jnp.asarray(rng.uniform(-1, 1, (200, 2)), jnp.float32)
+    query = db + 0.01
+
+    @jax.jit
+    def run(q, d):
+        grid = build_grid(d, jnp.ones(200, bool), 0.2, table_size=1 << 10,
+                          bucket_cap=32)
+        return nn_gridhash(q, grid)  # default cap = grid's 32
+
+    res = run(query, db)
+    assert np.isfinite(np.asarray(res.dist_sq)).all()
