@@ -29,6 +29,7 @@ rescaling the translation components before the norm test.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -244,18 +245,25 @@ def estimate_transform(
     use_pallas = (
         config.align_backend == "pallas"
         and axis_name is None
-        and src.ndim == 2
+        and src.ndim in (2, 3)
         and src.shape[-2] % 128 == 0
         and src.dtype == jnp.float32
         and jax.default_backend() == "tpu"
     )
 
+    def _pallas_update(t, src, dst, mask):
+        fn = functools.partial(
+            weighted_gn_update_pallas,
+            huber_k=huber_k, det_rel_eps=config.det_rel_eps,
+        )
+        if src.ndim == 3:  # one batch dim (multi-pair): vmap the kernel
+            fn = jax.vmap(fn)
+        return fn(t, src, dst, mask)
+
     def body(carry):
         t, prev_err, done, it = carry
         if use_pallas:
-            upd = weighted_gn_update_pallas(
-                t, src, dst, mask, huber_k, config.det_rel_eps
-            )
+            upd = _pallas_update(t, src, dst, mask)
         else:
             upd = weighted_gauss_newton_update(
                 t, src, dst, mask, huber_k, config.det_rel_eps, axis_name

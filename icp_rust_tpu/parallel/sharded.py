@@ -183,6 +183,10 @@ def batched_icp2d(
     With a mesh, inputs/outputs are sharded over ``pair_axis`` and XLA
     partitions the vmapped program; without one it is a plain vmap.
     """
+    # Note: vmap of the fused Pallas GN kernel measures ~2x FASTER per
+    # inner iteration than the batched einsum path at B=209 (the vmap
+    # batching rule turns the batch into a grid dimension), so the
+    # config's align_backend is honored as-is.
     fn = jax.vmap(partial(icp2d, config=config))
     if mesh is None:
         return fn(src, dst, src_mask, dst_mask, initial_transform)
