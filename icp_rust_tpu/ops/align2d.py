@@ -185,16 +185,24 @@ def weighted_gn_update_pallas(
 ) -> GNUpdate:
     """Single-launch fused GN update (ops/align2d_pallas.py).
 
-    Unbatched (N, 2) only — the batched/sharded paths use the XLA
-    version.  Same math as weighted_gauss_newton_update; reduction order
-    differs at f32 roundoff.
+    src/dst (N, 2) use the single-cloud kernel; (B, N, 2) the
+    pair-vectorized batched kernel (pairs along sublanes, points along
+    lanes, one launch for the whole batch).  Same math as
+    weighted_gauss_newton_update; reduction order differs at f32
+    roundoff.
     """
     from icp_rust_tpu.ops import align2d_pallas
 
-    stats = align2d_pallas.gn_stats_pallas(
-        src, dst, mask, transform.rot, transform.t, huber_k,
-        interpret=interpret,
-    )
+    if src.ndim == 3:
+        stats = align2d_pallas.gn_stats_pallas_batched(
+            src, dst, mask, transform.rot, transform.t, huber_k,
+            interpret=interpret,
+        )
+    else:
+        stats = align2d_pallas.gn_stats_pallas(
+            src, dst, mask, transform.rot, transform.t, huber_k,
+            interpret=interpret,
+        )
     jtj, jtr, err, nf, sig_x, sig_y = align2d_pallas.assemble_update(
         stats, transform.rot
     )
@@ -203,7 +211,7 @@ def weighted_gn_update_pallas(
     x, ok_solve = linalg.solve3x3(jtj, jtr, det_rel_eps)
     stats_valid = nf > 0
     ok = ok_solve & (nf >= 2) & stats_valid
-    delta = jnp.where(ok, -x, jnp.zeros_like(x))
+    delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
     return GNUpdate(delta, ok, err.astype(src.dtype))
 
 
@@ -252,13 +260,11 @@ def estimate_transform(
     )
 
     def _pallas_update(t, src, dst, mask):
-        fn = functools.partial(
-            weighted_gn_update_pallas,
-            huber_k=huber_k, det_rel_eps=config.det_rel_eps,
+        # ndim==3 routes to the pair-vectorized batched kernel inside
+        # weighted_gn_update_pallas (one launch for the whole batch).
+        return weighted_gn_update_pallas(
+            t, src, dst, mask, huber_k, config.det_rel_eps
         )
-        if src.ndim == 3:  # one batch dim (multi-pair): vmap the kernel
-            fn = jax.vmap(fn)
-        return fn(t, src, dst, mask)
 
     def body(carry):
         t, prev_err, done, it = carry

@@ -253,25 +253,26 @@ def gn_stats_pallas(
 
 
 def assemble_update(stats: Array, rot: Array):
-    """Rebuild (jtj (3,3), jtr (3,), err, count, sigma) from the kernel's
-    packed stats using J = [R | w], w_x/w_y the per-point third column.
+    """Rebuild (jtj (..., 3, 3), jtr (..., 3), err, count, sigma) from the
+    kernel's packed stats using J = [R | w], w_x/w_y the per-point third
+    column.  Batch-agnostic: stats (..., 16), rot (..., 2, 2).
 
     J_x^T J_x = [[r00^2, r00 r01, r00 w],[., r01^2, r01 w],[., ., w^2]],
     so sum u (J^T J) needs only S_u, S_uw, S_uw2 per dim; J^T r likewise.
     """
     (s_u_x, s_uw_x, s_uw2_x, s_ur_x, s_uwr_x,
      s_u_y, s_uw_y, s_uw2_y, s_ur_y, s_uwr_y,
-     err, nf, sig_x, sig_y) = [stats[i] for i in range(14)]
-    r00, r01 = rot[0, 0], rot[0, 1]
-    r10, r11 = rot[1, 0], rot[1, 1]
+     err, nf, sig_x, sig_y) = [stats[..., i] for i in range(14)]
+    r00, r01 = rot[..., 0, 0], rot[..., 0, 1]
+    r10, r11 = rot[..., 1, 0], rot[..., 1, 1]
 
     def dim_terms(a, b, s_u, s_uw, s_uw2, s_ur, s_uwr):
         jtj = jnp.stack([
-            jnp.stack([a * a * s_u, a * b * s_u, a * s_uw]),
-            jnp.stack([a * b * s_u, b * b * s_u, b * s_uw]),
-            jnp.stack([a * s_uw, b * s_uw, s_uw2]),
-        ])
-        jtr = jnp.stack([a * s_ur, b * s_ur, s_uwr])
+            jnp.stack([a * a * s_u, a * b * s_u, a * s_uw], axis=-1),
+            jnp.stack([a * b * s_u, b * b * s_u, b * s_uw], axis=-1),
+            jnp.stack([a * s_uw, b * s_uw, s_uw2], axis=-1),
+        ], axis=-2)
+        jtr = jnp.stack([a * s_ur, b * s_ur, s_uwr], axis=-1)
         return jtj, jtr
 
     jtj_x, jtr_x = dim_terms(r00, r01, s_u_x, s_uw_x, s_uw2_x, s_ur_x,
@@ -279,3 +280,156 @@ def assemble_update(stats: Array, rot: Array):
     jtj_y, jtr_y = dim_terms(r10, r11, s_u_y, s_uw_y, s_uw2_y, s_ur_y,
                              s_uwr_y)
     return jtj_x + jtj_y, jtr_x + jtr_y, err, nf, sig_x, sig_y
+
+
+# ---------------------------------------------------------------------------
+# Pair-vectorized batched GN kernel: B pairs x N points in ONE launch.
+#
+# The vmapped single-pair kernel turns the batch into a grid dimension, so
+# its 32 sequential radix-reduction rounds repeat per pair.  Here pairs sit
+# along SUBLANES and points along LANES: every radix pass's digit compare,
+# candidate mask, and per-pair lane-reduction run for ALL pairs at once,
+# and the scalar rank bookkeeping becomes (B,) vector math.  Right shape
+# for many small pairs (B ~ 10^2-10^3, N ~ 10^2-10^3 lanes); the
+# single-pair kernel remains the choice for one huge cloud.
+# ---------------------------------------------------------------------------
+
+
+def _median_radix2_rows(x, mask, n):
+    """Exact masked median PER ROW of x ((B, N) f32) — reference even/odd
+    semantics.  n: (B, 1) int32 valid counts.  Returns (B, 1)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = (b >> 31) == 1
+    keys = b ^ jnp.where(sign, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+
+    h = n // 2  # (B, 1)
+    cand = mask
+    r = h
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    for p in range(16):
+        shift = 30 - 2 * p
+        digit = (keys >> shift) & 0x3
+        c0 = jnp.sum(jnp.where(cand & (digit == 0), one, zero), axis=1,
+                     keepdims=True).astype(jnp.int32)
+        c1 = jnp.sum(jnp.where(cand & (digit == 1), one, zero), axis=1,
+                     keepdims=True).astype(jnp.int32)
+        c2 = jnp.sum(jnp.where(cand & (digit == 2), one, zero), axis=1,
+                     keepdims=True).astype(jnp.int32)
+        cum1 = c0 + c1
+        cum2 = cum1 + c2
+        sel = jnp.where(
+            r < c0, 0, jnp.where(r < cum1, 1, jnp.where(r < cum2, 2, 3))
+        ).astype(jnp.uint32)  # (B, 1)
+        r = r - jnp.where(
+            sel == 0, 0, jnp.where(sel == 1, c0,
+                                   jnp.where(sel == 2, cum1, cum2))
+        )
+        cand = cand & (digit == sel)
+    inf = jnp.float32(jnp.inf)
+    v_hi = jnp.min(jnp.where(cand, x, inf), axis=1, keepdims=True)
+
+    less = mask & (x < v_hi)
+    cnt_less = jnp.sum(jnp.where(less, one, zero), axis=1,
+                       keepdims=True).astype(jnp.int32)
+    vmax_less = jnp.max(jnp.where(less, x, -inf), axis=1, keepdims=True)
+    v_lo = jnp.where(cnt_less == h, vmax_less, v_hi)
+    odd = (n % 2) == 1
+    med = jnp.where(odd, v_hi, 0.5 * (v_lo + v_hi))
+    return jnp.where(n > 0, med, 0.0)
+
+
+def _gn_batched_kernel(params_ref, sx_ref, sy_ref, dx_ref, dy_ref, m_ref,
+                       out_ref, *, huber_k: float):
+    """params_ref: (B, 8) [r00 r01 r10 r11 tx ty 0 0]; point arrays (B, N);
+    out_ref: (B, 16) packed per-pair stats (same layout as _gn_kernel)."""
+    r00 = params_ref[:, 0:1]
+    r01 = params_ref[:, 1:2]
+    r10 = params_ref[:, 2:3]
+    r11 = params_ref[:, 3:4]
+    tx = params_ref[:, 4:5]
+    ty = params_ref[:, 5:6]
+
+    sx = sx_ref[:]
+    sy = sy_ref[:]
+    mask = m_ref[:] > 0.5  # (B, N)
+    mf = jnp.where(mask, 1.0, 0.0)
+    n = jnp.sum(mf, axis=1, keepdims=True).astype(jnp.int32)  # (B, 1)
+
+    rx = r00 * sx + r01 * sy + tx - dx_ref[:]
+    ry = r10 * sx + r11 * sy + ty - dy_ref[:]
+
+    med_x = _median_radix2_rows(rx, mask, n)
+    mad_x = _median_radix2_rows(jnp.abs(rx - med_x), mask, n)
+    med_y = _median_radix2_rows(ry, mask, n)
+    mad_y = _median_radix2_rows(jnp.abs(ry - med_y), mask, n)
+    sig_x = jnp.float32(_MAD_SCALE) * mad_x  # (B, 1)
+    sig_y = jnp.float32(_MAD_SCALE) * mad_y
+    g_x = jnp.where(sig_x != 0.0, 1.0 / jnp.where(sig_x != 0.0, sig_x, 1.0),
+                    0.0)
+    g_y = jnp.where(sig_y != 0.0, 1.0 / jnp.where(sig_y != 0.0, sig_y, 1.0),
+                    0.0)
+
+    k2 = jnp.float32(huber_k * huber_k)
+    hk = jnp.float32(huber_k)
+    ex = rx * rx
+    ey = ry * ry
+    u_x = jnp.where(ex <= k2, 1.0, hk * jax.lax.rsqrt(ex)) * g_x * mf
+    u_y = jnp.where(ey <= k2, 1.0, hk * jax.lax.rsqrt(ey)) * g_y * mf
+    w_x = -r00 * sy + r01 * sx
+    w_y = -r10 * sy + r11 * sx
+
+    def rsum(v):
+        return jnp.sum(v, axis=1)  # (B,)
+
+    out_ref[:, 0] = rsum(u_x)
+    out_ref[:, 1] = rsum(u_x * w_x)
+    out_ref[:, 2] = rsum(u_x * w_x * w_x)
+    out_ref[:, 3] = rsum(u_x * rx)
+    out_ref[:, 4] = rsum(u_x * w_x * rx)
+    out_ref[:, 5] = rsum(u_y)
+    out_ref[:, 6] = rsum(u_y * w_y)
+    out_ref[:, 7] = rsum(u_y * w_y * w_y)
+    out_ref[:, 8] = rsum(u_y * ry)
+    out_ref[:, 9] = rsum(u_y * w_y * ry)
+    e = ex + ey
+    out_ref[:, 10] = rsum(
+        jnp.where(e <= k2, e, 2.0 * hk * jnp.sqrt(e) - k2) * mf)
+    out_ref[:, 11] = n[:, 0].astype(jnp.float32)
+    out_ref[:, 12] = sig_x[:, 0]
+    out_ref[:, 13] = sig_y[:, 0]
+    out_ref[:, 14] = jnp.zeros_like(sig_x[:, 0])
+    out_ref[:, 15] = jnp.zeros_like(sig_x[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("huber_k", "interpret"))
+def gn_stats_pallas_batched(
+    src: Array,
+    dst: Array,
+    mask: Array,
+    rot: Array,
+    t: Array,
+    huber_k: float,
+    interpret: bool = False,
+) -> Array:
+    """src/dst: (B, N, 2) with N a multiple of 128; mask: (B, N);
+    rot: (B, 2, 2); t: (B, 2).  Returns (B, 16) packed stats."""
+    b, n, _ = src.shape
+    sx = src[..., 0]
+    sy = src[..., 1]
+    dx = dst[..., 0]
+    dy = dst[..., 1]
+    mf = mask.astype(jnp.float32)
+    params = jnp.concatenate(
+        [rot.reshape(b, 4), t.reshape(b, 2),
+         jnp.zeros((b, 2), rot.dtype)], axis=1,
+    ).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_gn_batched_kernel, huber_k=float(huber_k)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 16), jnp.float32),
+        interpret=interpret,
+    )(params, sx, sy, dx, dy, mf)
+    return out

@@ -161,12 +161,16 @@ def nearest_neighbor(
         return nn_pallas.nn_pallas(query, db, db_mask, q_tile=q_tile,
                                    db_tile=tile)
     if backend == "auto" and method == "direct":
-        # The Pallas kernel computes direct distances only; "mxu" falls
-        # through to the XLA path.
+        # The Pallas kernel computes direct distances only ("mxu" falls
+        # through to the XLA path), and it wins for big single clouds;
+        # for BATCHED small clouds (multi-pair ICP) the vmapped kernel
+        # grid-izes per pair and the fused XLA sweep measures ~25%
+        # faster (1.9k vs 1.5k pairs/s at 209x768 on v5e).
+        batched_small = query.ndim > 2 and db.shape[-2] <= 4096
         try:
             from icp_rust_tpu.ops import nn_pallas
 
-            if nn_pallas.available():
+            if nn_pallas.available() and not batched_small:
                 return nn_pallas.nn_pallas(query, db, db_mask,
                                            q_tile=q_tile, db_tile=tile)
         except ImportError:

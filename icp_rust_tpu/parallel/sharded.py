@@ -183,11 +183,11 @@ def batched_icp2d(
     With a mesh, inputs/outputs are sharded over ``pair_axis`` and XLA
     partitions the vmapped program; without one it is a plain vmap.
     """
-    # Note: vmap of the fused Pallas GN kernel measures ~2x FASTER per
-    # inner iteration than the batched einsum path at B=209 (the vmap
-    # batching rule turns the batch into a grid dimension), so the
-    # config's align_backend is honored as-is.
-    fn = jax.vmap(partial(icp2d, config=config))
+    # icp2d is natively batch-polymorphic (batched while_loop carries,
+    # batched NN, and the pair-vectorized fused GN kernel for ndim==3),
+    # so the whole batch is ONE call — no vmap needed, and the GN kernel
+    # runs one launch per inner iteration for ALL pairs.
+    fn = partial(icp2d, config=config)
     if mesh is None:
         return fn(src, dst, src_mask, dst_mask, initial_transform)
     shard = NamedSharding(mesh, P(pair_axis))
