@@ -43,10 +43,9 @@ class SlamResult(NamedTuple):
 def _batched_icp(src, dst, src_mask, dst_mask, config):
     import functools
 
-    fn = jax.jit(
-        jax.vmap(functools.partial(icp2d, config=config)),
-        static_argnums=(),
-    )
+    # icp2d is batch-polymorphic (batched carries/NN + the
+    # pair-vectorized GN kernel on TPU) — one call, no vmap.
+    fn = jax.jit(functools.partial(icp2d, config=config))
     b = src.shape[0]
     t0 = RigidTransform2.identity((b,), config.compute_dtype)
     return fn(src, dst, src_mask, dst_mask, t0)
@@ -143,7 +142,7 @@ def run_slam2d(
         )
         import functools
 
-        fn = jax.jit(jax.vmap(functools.partial(icp2d, config=config)))
+        fn = jax.jit(functools.partial(icp2d, config=config))
         t_ij = fn(pts[ci], pts[cj], mask[ci], mask[cj], init)
         nn_after = np.asarray(
             _mean_nn_dist(pts[ci], pts[cj], mask[ci], mask[cj], t_ij, config)

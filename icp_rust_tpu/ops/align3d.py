@@ -99,6 +99,44 @@ def weighted_gn_update_p2l(
     return GNUpdate6(delta, ok, err)
 
 
+def weighted_gn_update_p2l_pallas(
+    transform: RigidTransform3,
+    src: Array,
+    dst: Array,
+    normals: Array,
+    mask: Array,
+    huber_k: float,
+    interpret: bool = False,
+) -> GNUpdate6:
+    """Single-launch fused point-to-plane GN update
+    (ops/align3d_pallas.py); same math as weighted_gn_update_p2l,
+    reduction order differs at f32 roundoff."""
+    from icp_rust_tpu.ops import align3d_pallas
+
+    stats = align3d_pallas.p2l_stats_pallas(
+        src, dst, normals, mask, transform.rot, transform.t, huber_k,
+        interpret=interpret,
+    )
+    jtj, jtr, err, nf, sig = align3d_pallas.assemble_p2l(stats)
+    jtj = jtj.astype(src.dtype)
+    jtr = jtr.astype(src.dtype)
+    n_ok = nf >= 6
+    dim_ok = sig != 0.0
+    eye = jnp.eye(6, dtype=src.dtype)
+    jtj_safe = jnp.where(n_ok, jtj, eye)
+    x = jnp.linalg.solve(jtj_safe, jtr[..., None])[..., 0]
+    finite = jnp.all(jnp.isfinite(x), axis=-1)
+    back = jnp.einsum("...kl,...l->...k", jtj_safe, x)
+    resid_ok = jnp.all(
+        jnp.abs(back - jtr)
+        <= 1e-3 * jnp.maximum(jnp.abs(jtr), 1e-30) + 1e-20,
+        axis=-1,
+    )
+    ok = n_ok & (nf > 0) & finite & resid_ok & dim_ok
+    delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
+    return GNUpdate6(delta, ok, err.astype(src.dtype))
+
+
 def estimate_transform_p2l(
     src: Array,
     dst: Array,
@@ -120,9 +158,23 @@ def estimate_transform_p2l(
         _, _, done, it = carry
         return (it < config.inner_max_iter) & jnp.any(~done)
 
+    use_pallas = (
+        config.align_backend == "pallas"
+        and src.ndim == 2
+        and src.shape[-2] % 128 == 0
+        and src.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+    )
+
     def body(carry):
         t, prev, done, it = carry
-        upd = weighted_gn_update_p2l(t, src, dst, normals, mask, huber_k)
+        if use_pallas:
+            upd = weighted_gn_update_p2l_pallas(
+                t, src, dst, normals, mask, huber_k
+            )
+        else:
+            upd = weighted_gn_update_p2l(t, src, dst, normals, mask,
+                                         huber_k)
         d2 = jnp.sum(upd.delta * upd.delta, axis=-1)
         # Physical-units threshold: translation components rescale.
         s2 = config.point_scale**2

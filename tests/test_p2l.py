@@ -161,3 +161,39 @@ def test_voxel_normals_recover_plane():
     # orientation: toward the origin (sensor below the plane at z=5)
     to_sensor = -pts[np.asarray(ok)]
     assert (np.sum(est * to_sensor, axis=1) >= 0).all()
+
+
+def test_fused_p2l_kernel_matches_xla():
+    """Fused Pallas p2l GN stats vs the XLA path (interpret on CPU)."""
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.geometry.transform3d import RigidTransform3
+    from icp_rust_tpu.ops import align3d
+    from icp_rust_tpu.ops.align3d_pallas import assemble_p2l, p2l_stats_pallas
+
+    rng = np.random.default_rng(11)
+    n = 256
+    src = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    dst = (src + rng.normal(0, 0.05, (n, 3))).astype(np.float32)
+    normals = rng.normal(size=(n, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    mask = rng.random(n) > 0.2
+    t = RigidTransform3(
+        jnp.asarray(np.eye(3, dtype=np.float32)),
+        jnp.asarray(np.array([0.1, -0.05, 0.02], np.float32)),
+    )
+
+    ref = align3d.weighted_gn_update_p2l(
+        t, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(normals),
+        jnp.asarray(mask), 1.345,
+    )
+    stats = p2l_stats_pallas(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(normals),
+        jnp.asarray(mask), t.rot, t.t, 1.345, interpret=True,
+    )
+    jtj, jtr, err, nf, sig = assemble_p2l(stats)
+    x = np.linalg.solve(np.asarray(jtj), np.asarray(jtr))
+    np.testing.assert_allclose(-x, np.asarray(ref.delta), rtol=5e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(err), float(ref.err), rtol=1e-5)
+    assert int(nf) == int(mask.sum())
