@@ -259,6 +259,20 @@ def estimate_transform(
         and jax.default_backend() == "tpu"
     )
 
+    if use_pallas and src.ndim == 2:
+        # Unbatched on TPU: the WHOLE loop is one kernel launch
+        # (ops/align2d_pallas._inner_loop_kernel) — on iteration-heavy
+        # workloads the ~30 us of inter-kernel gaps per iteration
+        # otherwise dominate.
+        from icp_rust_tpu.ops import align2d_pallas
+
+        rot, t = align2d_pallas.estimate_transform_pallas(
+            src, dst, mask, huber_k, config.det_rel_eps,
+            config.inner_delta_sq_tol, config.inner_max_iter,
+            config.point_scale,
+        )
+        return RigidTransform2(rot, t)
+
     def _pallas_update(t, src, dst, mask):
         # ndim==3 routes to the pair-vectorized batched kernel inside
         # weighted_gn_update_pallas (one launch for the whole batch).

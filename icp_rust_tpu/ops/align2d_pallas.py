@@ -132,23 +132,12 @@ def _median_radix2_pair(x0, x1, mask, n):
 _MAD_SCALE = 1.482602218505602  # reference src/stats.rs:42
 
 
-def _gn_kernel(params_ref, sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref,
-               *, huber_k: float):
-    r00 = params_ref[0, 0]
-    r01 = params_ref[0, 1]
-    r10 = params_ref[0, 2]
-    r11 = params_ref[0, 3]
-    tx = params_ref[0, 4]
-    ty = params_ref[0, 5]
-
-    sx = sx_ref[:]
-    sy = sy_ref[:]
-    mask = m_ref[:] > 0.5
-    n = jnp.sum(jnp.where(mask, 1, 0), dtype=jnp.int32)
-    nf = n.astype(jnp.float32)
-
-    rx = r00 * sx + r01 * sy + tx - dx_ref[:]
-    ry = r10 * sx + r11 * sy + ty - dy_ref[:]
+def _gn_stats_core(r00, r01, r10, r11, tx, ty, sx, sy, dx, dy, mask, mf,
+                   n, huber_k: float):
+    """The per-iteration GN statistics, all VMEM-resident.  Returns the
+    10 normal-equation sums, the Huber error, and the per-dim sigmas."""
+    rx = r00 * sx + r01 * sy + tx - dx
+    ry = r10 * sx + r11 * sy + ty - dy
 
     k2 = jnp.float32(huber_k * huber_k)
 
@@ -169,7 +158,6 @@ def _gn_kernel(params_ref, sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref,
     ey = ry * ry
     wgt_x = jnp.where(ex <= k2, 1.0, huber_k * jax.lax.rsqrt(ex))
     wgt_y = jnp.where(ey <= k2, 1.0, huber_k * jax.lax.rsqrt(ey))
-    mf = jnp.where(mask, 1.0, 0.0)
     u_x = wgt_x * g_x * mf
     u_y = wgt_y * g_y * mf
 
@@ -177,21 +165,41 @@ def _gn_kernel(params_ref, sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref,
     w_x = -r00 * sy + r01 * sx
     w_y = -r10 * sy + r11 * sx
 
-    s_u_x = jnp.sum(u_x)
-    s_uw_x = jnp.sum(u_x * w_x)
-    s_uw2_x = jnp.sum(u_x * w_x * w_x)
-    s_ur_x = jnp.sum(u_x * rx)
-    s_uwr_x = jnp.sum(u_x * w_x * rx)
-    s_u_y = jnp.sum(u_y)
-    s_uw_y = jnp.sum(u_y * w_y)
-    s_uw2_y = jnp.sum(u_y * w_y * w_y)
-    s_ur_y = jnp.sum(u_y * ry)
-    s_uwr_y = jnp.sum(u_y * w_y * ry)
-
+    sums = (
+        jnp.sum(u_x), jnp.sum(u_x * w_x), jnp.sum(u_x * w_x * w_x),
+        jnp.sum(u_x * rx), jnp.sum(u_x * w_x * rx),
+        jnp.sum(u_y), jnp.sum(u_y * w_y), jnp.sum(u_y * w_y * w_y),
+        jnp.sum(u_y * ry), jnp.sum(u_y * w_y * ry),
+    )
     # Huber error at the pre-update transform: rho(|r|^2, k)
     e = ex + ey
     rho = jnp.where(e <= k2, e, 2.0 * huber_k * jnp.sqrt(e) - k2)
     err = jnp.sum(rho * mf)
+    return sums, err, sig_x, sig_y
+
+
+def _gn_kernel(params_ref, sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref,
+               *, huber_k: float):
+    r00 = params_ref[0, 0]
+    r01 = params_ref[0, 1]
+    r10 = params_ref[0, 2]
+    r11 = params_ref[0, 3]
+    tx = params_ref[0, 4]
+    ty = params_ref[0, 5]
+
+    sx = sx_ref[:]
+    sy = sy_ref[:]
+    mask = m_ref[:] > 0.5
+    mf = jnp.where(mask, 1.0, 0.0)
+    n = jnp.sum(jnp.where(mask, 1, 0), dtype=jnp.int32)
+    nf = n.astype(jnp.float32)
+
+    sums, err, sig_x, sig_y = _gn_stats_core(
+        r00, r01, r10, r11, tx, ty, sx, sy, dx_ref[:], dy_ref[:], mask,
+        mf, n, huber_k,
+    )
+    (s_u_x, s_uw_x, s_uw2_x, s_ur_x, s_uwr_x,
+     s_u_y, s_uw_y, s_uw2_y, s_ur_y, s_uwr_y) = sums
 
     out_ref[0, 0] = s_u_x
     out_ref[0, 1] = s_uw_x
@@ -433,3 +441,189 @@ def gn_stats_pallas_batched(
         interpret=interpret,
     )(params, sx, sy, dx, dy, mf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# The ENTIRE inner IRLS loop in one kernel launch.
+#
+# On iteration-heavy workloads (real mm-scale 2D scans run ~10-200 inner
+# iterations) the per-iteration cost is dominated by ~30 us of
+# inter-kernel gaps around the per-iteration launch; looping INSIDE the
+# kernel with scalar carries (rot, t, prev_err) removes all of it.  The
+# 3x3 solve (adjugate, same det gating as ops.linalg.inverse3x3) and the
+# SE(2) exponential (same small-angle Taylor branch as geometry.se2)
+# happen in-kernel; the three stop conditions replicate
+# align2d.estimate_transform's exact ordering.
+# ---------------------------------------------------------------------------
+
+_SMALL_ANGLE_F32 = float(jnp.finfo(jnp.float32).eps) ** 0.25
+
+
+def _inner_loop_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref, *,
+                       huber_k: float, det_rel_eps: float, tol_d2: float,
+                       max_iter: int, point_scale: float):
+    sx = sx_ref[:]
+    sy = sy_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    mask = m_ref[:] > 0.5
+    mf = jnp.where(mask, 1.0, 0.0)
+    n = jnp.sum(jnp.where(mask, 1, 0), dtype=jnp.int32)
+    nf = n.astype(jnp.float32)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    def cond(c):
+        it, done = c[6], c[7]
+        return (it < max_iter) & (done == 0)
+
+    def body(c):
+        r00, r01, r10, r11, tx, ty, it, done, prev_err = c
+        sums, err, sig_x, sig_y = _gn_stats_core(
+            r00, r01, r10, r11, tx, ty, sx, sy, dx, dy, mask, mf, n,
+            huber_k,
+        )
+        (s_u_x, s_uw_x, s_uw2_x, s_ur_x, s_uwr_x,
+         s_u_y, s_uw_y, s_uw2_y, s_ur_y, s_uwr_y) = sums
+
+        # assemble the symmetric 3x3 normal equations (docs/jacobian.md)
+        h00 = r00 * r00 * s_u_x + r10 * r10 * s_u_y
+        h01 = r00 * r01 * s_u_x + r10 * r11 * s_u_y
+        h02 = r00 * s_uw_x + r10 * s_uw_y
+        h11 = r01 * r01 * s_u_x + r11 * r11 * s_u_y
+        h12 = r01 * s_uw_x + r11 * s_uw_y
+        h22 = s_uw2_x + s_uw2_y
+        b0 = r00 * s_ur_x + r10 * s_ur_y
+        b1 = r01 * s_ur_x + r11 * s_ur_y
+        b2 = s_uwr_x + s_uwr_y
+
+        det = (h00 * (h11 * h22 - h12 * h12)
+               - h01 * (h01 * h22 - h12 * h02)
+               + h02 * (h01 * h12 - h11 * h02))
+        if det_rel_eps > 0.0:
+            mx = jnp.maximum(
+                jnp.maximum(jnp.abs(h00), jnp.abs(h01)),
+                jnp.maximum(
+                    jnp.maximum(jnp.abs(h02), jnp.abs(h11)),
+                    jnp.maximum(jnp.abs(h12), jnp.abs(h22)),
+                ),
+            )
+            ok = jnp.abs(det) > jnp.float32(det_rel_eps) * mx * mx * mx
+        else:
+            ok = det != 0.0
+        ok = ok & (n >= 2)
+        safe_det = jnp.where(ok, det, one)
+        # adjugate solve: delta = -(H^-1 b)
+        a00 = h11 * h22 - h12 * h12
+        a01 = h02 * h12 - h01 * h22
+        a02 = h01 * h12 - h02 * h11
+        a11 = h00 * h22 - h02 * h02
+        a12 = h01 * h02 - h00 * h12
+        a22 = h00 * h11 - h01 * h01
+        d0 = -(a00 * b0 + a01 * b1 + a02 * b2) / safe_det
+        d1 = -(a01 * b0 + a11 * b1 + a12 * b2) / safe_det
+        d2 = -(a02 * b0 + a12 * b1 + a22 * b2) / safe_det
+        d0 = jnp.where(ok, d0, zero)
+        d1 = jnp.where(ok, d1, zero)
+        d2 = jnp.where(ok, d2, zero)
+
+        # stop conditions, in estimate_transform's exact order
+        stop = ~ok
+        scale = jnp.float32(point_scale)
+        d2_phys = (d0 * scale) ** 2 + (d1 * scale) ** 2 + d2 * d2
+        stop = stop | (d2_phys < jnp.float32(tol_d2))
+        stop = stop | (err > prev_err)
+
+        # SE(2) exp of the twist, small-angle branch matching geometry.se2
+        th = d2
+        small = jnp.abs(th) < jnp.float32(_SMALL_ANGLE_F32)
+        safe_th = jnp.where(small, one, th)
+        t2 = th * th
+        av = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(safe_th) / safe_th)
+        bv = jnp.where(small, th / 2.0 - t2 * th / 24.0,
+                       (1.0 - jnp.cos(safe_th)) / safe_th)
+        tdx = av * d0 - bv * d1
+        tdy = bv * d0 + av * d1
+        cth = jnp.cos(th)
+        sth = jnp.sin(th)
+        # T <- Exp(delta) o T  (left-compose)
+        n00 = cth * r00 - sth * r10
+        n01 = cth * r01 - sth * r11
+        n10 = sth * r00 + cth * r10
+        n11 = sth * r01 + cth * r11
+        ntx = cth * tx - sth * ty + tdx
+        nty = sth * tx + cth * ty + tdy
+
+        keep = stop  # a stopping iteration discards its delta
+        r00n = jnp.where(keep, r00, n00)
+        r01n = jnp.where(keep, r01, n01)
+        r10n = jnp.where(keep, r10, n10)
+        r11n = jnp.where(keep, r11, n11)
+        txn = jnp.where(keep, tx, ntx)
+        tyn = jnp.where(keep, ty, nty)
+        prev_n = jnp.where(keep, prev_err, err)
+        return (r00n, r01n, r10n, r11n, txn, tyn, it + 1,
+                jnp.where(stop, 1, 0), prev_n)
+
+    init = (one, zero, zero, one, zero, zero, 0, 0,
+            jnp.float32(jnp.finfo(jnp.float32).max))
+    r00, r01, r10, r11, tx, ty, it, done, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    out_ref[0, 0] = r00
+    out_ref[0, 1] = r01
+    out_ref[0, 2] = r10
+    out_ref[0, 3] = r11
+    out_ref[0, 4] = tx
+    out_ref[0, 5] = ty
+    out_ref[0, 6] = it.astype(jnp.float32)
+    out_ref[0, 7] = 0.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("huber_k", "det_rel_eps", "tol_d2", "max_iter",
+                     "point_scale", "interpret"),
+)
+def estimate_transform_pallas(
+    src: Array,
+    dst: Array,
+    mask: Array,
+    huber_k: float,
+    det_rel_eps: float,
+    tol_d2: float,
+    max_iter: int,
+    point_scale: float,
+    interpret: bool = False,
+):
+    """The whole fixed-correspondence IRLS loop in ONE kernel launch.
+
+    src/dst: (N, 2), N a multiple of 128; mask: (N,).  Returns
+    (rot (2, 2), t (2,)) in solver units, starting from identity —
+    exactly align2d.estimate_transform's semantics at f32 roundoff.
+    """
+    n = src.shape[0]
+    shape = (n // _LANES, _LANES)
+    sx = src[:, 0].reshape(shape)
+    sy = src[:, 1].reshape(shape)
+    dx = dst[:, 0].reshape(shape)
+    dy = dst[:, 1].reshape(shape)
+    mf = mask.astype(jnp.float32).reshape(shape)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _inner_loop_kernel, huber_k=float(huber_k),
+            det_rel_eps=float(det_rel_eps), tol_d2=float(tol_d2),
+            max_iter=int(max_iter), point_scale=float(point_scale),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        interpret=interpret,
+    )(sx, sy, dx, dy, mf)
+    rot = jnp.stack([
+        jnp.stack([out[0, 0], out[0, 1]]),
+        jnp.stack([out[0, 2], out[0, 3]]),
+    ])
+    t = jnp.stack([out[0, 4], out[0, 5]])
+    return rot, t
