@@ -99,3 +99,50 @@ def test_fused_inner_loop_via_config():
                                rtol=0, atol=5e-5)
     np.testing.assert_allclose(np.asarray(t.t), np.asarray(t_ref.t),
                                rtol=0, atol=5e-5)
+
+
+def test_whole_loop_kernel_matches_xla_loop():
+    """The single-launch inner-loop kernel reproduces estimate_transform
+    (interpret mode on CPU): rot exact, t to f32 roundoff."""
+    import numpy as np
+
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.ops.align2d_pallas import estimate_transform_pallas
+
+    rng = np.random.default_rng(0)
+    n = 384
+    src = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    c, s_ = np.cos(0.1), np.sin(0.1)
+    dst = src @ jnp.asarray([[c, s_], [-s_, c]], jnp.float32) + jnp.asarray(
+        [0.2, -0.1], jnp.float32)
+    dst = dst + jnp.asarray(rng.normal(0, 0.02, (n, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random(n) > 0.15)
+    cfg = ICPConfig(compute_dtype=jnp.float32, det_rel_eps=1e-9,
+                    align_backend="xla")
+    t_ref = align2d.estimate_transform(src, dst, mask, cfg)
+    rot, t = estimate_transform_pallas(
+        src, dst, mask, cfg.huber_k, cfg.det_rel_eps,
+        cfg.inner_delta_sq_tol, cfg.inner_max_iter, 1.0, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(t_ref.rot),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref.t),
+                               atol=1e-6)
+
+
+def test_whole_loop_kernel_degenerate_inputs():
+    """Degenerate input (perfect fit -> sigma 0 -> not ok) returns
+    identity, matching the XLA loop's Option::None semantics."""
+    import numpy as np
+
+    from icp_rust_tpu.ops.align2d_pallas import estimate_transform_pallas
+
+    src = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (128, 2)),
+                      jnp.float32)
+    rot, t = estimate_transform_pallas(
+        src, src, jnp.ones(128, bool), 1.345, 1e-9, 1e-6, 200, 1.0,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(rot), np.eye(2,
+                                                          dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(t), np.zeros(2, np.float32))
