@@ -3,8 +3,8 @@
 Ties the engine's configs together (BASELINE.json configs[2] and [4]):
 
 1. **Batched multi-pair ICP**: every consecutive scan pair of the sequence
-   aligns in ONE vmapped solve (identity warm start — consecutive motion is
-   small), giving the odometry chain.
+   aligns in ONE natively-batched solve (identity warm start — consecutive
+   motion is small), giving the odometry chain.
 2. Loop-closure candidates: pose pairs closer than ``loop_radius`` with
    index gap >= ``min_gap``; each candidate pair is verified by another
    batched ICP solve and accepted if the post-alignment mean NN distance is

@@ -257,6 +257,11 @@ def estimate_transform(
         and src.shape[-2] % 128 == 0
         and src.dtype == jnp.float32
         and jax.default_backend() == "tpu"
+        # The batched kernel holds the whole (B, N) problem in VMEM; cap
+        # its footprint (proven at 209x768) and fall back to the XLA
+        # einsum path for bigger batches rather than failing to compile.
+        and (src.ndim == 2
+             or src.shape[-3] * src.shape[-2] <= (1 << 18))
     )
 
     if use_pallas and src.ndim == 2:

@@ -46,6 +46,15 @@ except ImportError:  # pragma: no cover
 _LANES = 128
 
 
+def _order_keys_u32(x):
+    """Monotone float32 -> uint32 key map shared by every in-kernel radix
+    select (flip all bits of negatives, the sign bit of non-negatives)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = (b >> 31) == 1
+    return b ^ jnp.where(sign, jnp.uint32(0xFFFFFFFF),
+                         jnp.uint32(0x80000000))
+
+
 def _masked_sum(x, m):
     return jnp.sum(jnp.where(m, x, 0.0))
 
@@ -67,9 +76,7 @@ def _median_radix2_pair(x0, x1, mask, n):
     rank bookkeeping are per-dim.  Reference even/odd order-stat
     semantics (src/stats.rs:18-27)."""
     xs = jnp.concatenate([x0, x1], axis=1)  # (M, 256)
-    b = jax.lax.bitcast_convert_type(xs, jnp.uint32)
-    sign = (b >> 31) == 1
-    keys = b ^ jnp.where(sign, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    keys = _order_keys_u32(xs)
 
     h = n // 2  # same target rank for both dims (shared mask)
     mask2 = jnp.concatenate([mask, mask], axis=1)
@@ -306,9 +313,7 @@ def assemble_update(stats: Array, rot: Array):
 def _median_radix2_rows(x, mask, n):
     """Exact masked median PER ROW of x ((B, N) f32) — reference even/odd
     semantics.  n: (B, 1) int32 valid counts.  Returns (B, 1)."""
-    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    sign = (b >> 31) == 1
-    keys = b ^ jnp.where(sign, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    keys = _order_keys_u32(x)
 
     h = n // 2  # (B, 1)
     cand = mask
@@ -367,10 +372,18 @@ def _gn_batched_kernel(params_ref, sx_ref, sy_ref, dx_ref, dy_ref, m_ref,
     rx = r00 * sx + r01 * sy + tx - dx_ref[:]
     ry = r10 * sx + r11 * sy + ty - dy_ref[:]
 
-    med_x = _median_radix2_rows(rx, mask, n)
-    mad_x = _median_radix2_rows(jnp.abs(rx - med_x), mask, n)
-    med_y = _median_radix2_rows(ry, mask, n)
-    mad_y = _median_radix2_rows(jnp.abs(ry - med_y), mask, n)
+    # Both dims share each radix pass: x rows stacked above y rows, so
+    # one (2B, N) rows-select covers med_x and med_y (same for MAD).
+    mask2 = jnp.concatenate([mask, mask], axis=0)
+    n2 = jnp.concatenate([n, n], axis=0)
+    bsz = rx.shape[0]
+    med = _median_radix2_rows(
+        jnp.concatenate([rx, ry], axis=0), mask2, n2)
+    med_x, med_y = med[:bsz], med[bsz:]
+    mad = _median_radix2_rows(
+        jnp.concatenate([jnp.abs(rx - med_x), jnp.abs(ry - med_y)],
+                        axis=0), mask2, n2)
+    mad_x, mad_y = mad[:bsz], mad[bsz:]
     sig_x = jnp.float32(_MAD_SCALE) * mad_x  # (B, 1)
     sig_y = jnp.float32(_MAD_SCALE) * mad_y
     g_x = jnp.where(sig_x != 0.0, 1.0 / jnp.where(sig_x != 0.0, sig_x, 1.0),

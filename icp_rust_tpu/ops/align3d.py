@@ -80,23 +80,31 @@ def weighted_gn_update_p2l(
     jtj = jnp.einsum("...n,...nk,...nl->...kl", u, j, j)
 
     n_ok = jnp.sum(mask, axis=-1) >= 6
-    # LU solve; gate on finiteness and non-singularity via the residual of
-    # the solve (cheap and robust in f32).
-    eye = jnp.eye(6, dtype=src.dtype)
+    x, solve_ok = _solve6(jtj, jtr, n_ok)
+    ok = solve_ok & stats_valid & dim_ok
+    delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
+    err = jnp.sum(huber.rho(r * r, huber_k) * maskf, axis=-1)
+    return GNUpdate6(delta, ok, err)
+
+
+def _solve6(jtj, jtr, n_ok):
+    """Gated 6x6 LU solve shared by the XLA and Pallas p2l updates.
+
+    Returns (x, ok): LU on an identity-substituted system where n_ok is
+    False; ok additionally requires finite x and a small back-substitution
+    residual (the (near-)singularity rejection, robust in f32).
+    """
+    eye = jnp.eye(6, dtype=jtj.dtype)
     jtj_safe = jnp.where(n_ok[..., None, None], jtj, eye)
     x = jnp.linalg.solve(jtj_safe, jtr[..., None])[..., 0]
     finite = jnp.all(jnp.isfinite(x), axis=-1)
-    # Reject solutions of (near-)singular systems: residual check.
     back = jnp.einsum("...kl,...l->...k", jtj_safe, x)
     resid_ok = jnp.all(
         jnp.abs(back - jtr)
         <= 1e-3 * jnp.maximum(jnp.abs(jtr), 1e-30) + 1e-20,
         axis=-1,
     )
-    ok = n_ok & stats_valid & finite & resid_ok & dim_ok
-    delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
-    err = jnp.sum(huber.rho(r * r, huber_k) * maskf, axis=-1)
-    return GNUpdate6(delta, ok, err)
+    return x, n_ok & finite & resid_ok
 
 
 def weighted_gn_update_p2l_pallas(
@@ -122,17 +130,8 @@ def weighted_gn_update_p2l_pallas(
     jtr = jtr.astype(src.dtype)
     n_ok = nf >= 6
     dim_ok = sig != 0.0
-    eye = jnp.eye(6, dtype=src.dtype)
-    jtj_safe = jnp.where(n_ok, jtj, eye)
-    x = jnp.linalg.solve(jtj_safe, jtr[..., None])[..., 0]
-    finite = jnp.all(jnp.isfinite(x), axis=-1)
-    back = jnp.einsum("...kl,...l->...k", jtj_safe, x)
-    resid_ok = jnp.all(
-        jnp.abs(back - jtr)
-        <= 1e-3 * jnp.maximum(jnp.abs(jtr), 1e-30) + 1e-20,
-        axis=-1,
-    )
-    ok = n_ok & (nf > 0) & finite & resid_ok & dim_ok
+    x, solve_ok = _solve6(jtj, jtr, n_ok)
+    ok = solve_ok & dim_ok
     delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
     return GNUpdate6(delta, ok, err.astype(src.dtype))
 

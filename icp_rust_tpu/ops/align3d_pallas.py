@@ -35,16 +35,14 @@ try:  # pragma: no cover
 except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
-from icp_rust_tpu.ops.align2d_pallas import _MAD_SCALE
+from icp_rust_tpu.ops.align2d_pallas import _MAD_SCALE, _order_keys_u32
 
 _LANES = 128
 
 
 def _median_radix2_single(x, mask, n):
     """Exact masked median of one (M, 128) f32 array (scalar rank)."""
-    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    sign = (b >> 31) == 1
-    keys = b ^ jnp.where(sign, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    keys = _order_keys_u32(x)
 
     h = n // 2
     cand = mask

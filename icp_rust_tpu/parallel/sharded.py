@@ -7,8 +7,9 @@ No reference counterpart (the crate is single-threaded; SURVEY.md §2.3).
   (ops.align2d handles the collectives via ``axis_name``); correspondence
   search over the sharded destination cloud is the ring ppermute pass
   (parallel.ring_nn).  The returned transform is replicated.
-- ``batched_icp2d``: vmapped multi-pair ICP jitted with NamedSharding on
-  the pair axis — XLA partitions the whole program data-parallel
+- ``batched_icp2d``: natively-batched multi-pair ICP (icp2d is
+  batch-polymorphic); with a mesh, jitted with NamedSharding on the pair
+  axis so XLA partitions the program data-parallel
   (BASELINE.json configs[2]).
 """
 
@@ -181,7 +182,8 @@ def batched_icp2d(
     a leading pair axis (B, ...).
 
     With a mesh, inputs/outputs are sharded over ``pair_axis`` and XLA
-    partitions the vmapped program; without one it is a plain vmap.
+    partitions the program; without one it is a plain single-device call
+    (icp2d handles the batch axis natively).
     """
     # icp2d is natively batch-polymorphic (batched while_loop carries,
     # batched NN, and the pair-vectorized fused GN kernel for ndim==3),

@@ -146,3 +146,33 @@ def test_whole_loop_kernel_degenerate_inputs():
     np.testing.assert_array_equal(np.asarray(rot), np.eye(2,
                                                           dtype=np.float32))
     np.testing.assert_array_equal(np.asarray(t), np.zeros(2, np.float32))
+
+
+def test_batched_kernel_matches_per_pair():
+    """gn_stats_pallas_batched == per-pair kernel, incl. masked rows."""
+    import numpy as np
+
+    from icp_rust_tpu.ops.align2d_pallas import (
+        gn_stats_pallas,
+        gn_stats_pallas_batched,
+    )
+
+    rng = np.random.default_rng(0)
+    B, N = 4, 256
+    src = jnp.asarray(rng.uniform(-2, 2, (B, N, 2)), jnp.float32)
+    dst = src + jnp.asarray(rng.normal(0, 0.1, (B, N, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, N)) > 0.2)
+    # odd/even valid counts + one fully-masked row
+    mask = mask.at[3].set(False)
+    th = 0.2
+    c, s_ = np.cos(th), np.sin(th)
+    rot = jnp.broadcast_to(
+        jnp.asarray([[c, -s_], [s_, c]], jnp.float32), (B, 2, 2))
+    t = jnp.asarray(rng.normal(0, 0.1, (B, 2)), jnp.float32)
+    got = gn_stats_pallas_batched(src, dst, mask, rot, t, 1.345,
+                                  interpret=True)
+    for i in range(B):
+        want = gn_stats_pallas(src[i], dst[i], mask[i], rot[i], t[i],
+                               1.345, interpret=True)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   rtol=2e-6, atol=1e-7)
