@@ -436,24 +436,37 @@ def gn_stats_pallas_batched(
     """src/dst: (B, N, 2) with N a multiple of 128; mask: (B, N);
     rot: (B, 2, 2); t: (B, 2).  Returns (B, 16) packed stats."""
     b, n, _ = src.shape
+    # Pad the pair axis to a sublane multiple: the in-kernel x|y row
+    # stacking concatenates at offset B, which Mosaic rejects when
+    # misaligned ("invalid vector register cast").  Padded rows carry
+    # zero masks -> zero stats.
+    b_pad = -(-b // 8) * 8
+    if b_pad != b:
+        pad = [(0, b_pad - b)]
+        src = jnp.pad(src, pad + [(0, 0), (0, 0)])
+        dst = jnp.pad(dst, pad + [(0, 0), (0, 0)])
+        mask = jnp.pad(mask, pad + [(0, 0)])
+        rot = jnp.pad(rot, pad + [(0, 0), (0, 0)])
+        t = jnp.pad(t, pad + [(0, 0)])
+    bp = src.shape[0]
     sx = src[..., 0]
     sy = src[..., 1]
     dx = dst[..., 0]
     dy = dst[..., 1]
     mf = mask.astype(jnp.float32)
     params = jnp.concatenate(
-        [rot.reshape(b, 4), t.reshape(b, 2),
-         jnp.zeros((b, 2), rot.dtype)], axis=1,
+        [rot.reshape(bp, 4), t.reshape(bp, 2),
+         jnp.zeros((bp, 2), rot.dtype)], axis=1,
     ).astype(jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(_gn_batched_kernel, huber_k=float(huber_k)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, 16), jnp.float32),
         interpret=interpret,
     )(params, sx, sy, dx, dy, mf)
-    return out
+    return out[:b]
 
 
 # ---------------------------------------------------------------------------
