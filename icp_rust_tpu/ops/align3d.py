@@ -165,6 +165,18 @@ def estimate_transform_p2l(
         and jax.default_backend() == "tpu"
     )
 
+    if use_pallas:
+        # The WHOLE loop in one kernel launch (in-kernel 6x6 Cholesky,
+        # SE(3) exponential) — see ops/align3d_pallas._p2l_loop_kernel.
+        from icp_rust_tpu.ops import align3d_pallas
+
+        rot, t = align3d_pallas.estimate_transform_p2l_pallas(
+            src, dst, normals, mask, huber_k,
+            config.inner_delta_sq_tol, config.inner_max_iter,
+            config.point_scale,
+        )
+        return RigidTransform3(rot, t)
+
     def body(carry):
         t, prev, done, it = carry
         if use_pallas:

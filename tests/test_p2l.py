@@ -197,3 +197,34 @@ def test_fused_p2l_kernel_matches_xla():
                                atol=1e-6)
     np.testing.assert_allclose(float(err), float(ref.err), rtol=1e-5)
     assert int(nf) == int(mask.sum())
+
+
+def test_whole_loop_p2l_kernel_matches_xla_loop():
+    """Single-launch p2l loop kernel vs estimate_transform_p2l
+    (interpret on CPU)."""
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.ops import align3d
+    from icp_rust_tpu.ops.align3d_pallas import estimate_transform_p2l_pallas
+
+    rng = np.random.default_rng(5)
+    n = 256
+    src = jnp.asarray(rng.uniform(-2, 2, (n, 3)), jnp.float32)
+    normals = rng.normal(size=(n, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = jnp.asarray(normals, jnp.float32)
+    dst = src + jnp.asarray(
+        rng.normal(0, 0.02, (n, 3)), jnp.float32
+    ) + jnp.asarray([0.1, -0.05, 0.03], jnp.float32)
+    mask = jnp.asarray(rng.random(n) > 0.15)
+    cfg = ICPConfig(compute_dtype=jnp.float32, align_backend="xla")
+    t_ref = align3d.estimate_transform_p2l(src, dst, normals, mask, cfg)
+    rot, t = estimate_transform_p2l_pallas(
+        src, dst, normals, mask, cfg.huber_k, cfg.inner_delta_sq_tol,
+        cfg.inner_max_iter, 1.0, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(t_ref.rot),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref.t),
+                               atol=1e-6)
