@@ -10,6 +10,7 @@
 // Exposed over the C ABI for ctypes (no pybind11 in this image).
 
 #include <cctype>
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -19,16 +20,18 @@
 
 namespace {
 
-// Fast float parse for "simple" decimal floats (the scans' format);
-// falls back to strtod for anything exotic.
+// Locale-independent float parse: std::from_chars always uses '.' as the
+// decimal separator, unlike strtod which honors LC_NUMERIC (a comma-
+// decimal locale in the embedding process would silently parse "1.5" as
+// 1.0 — ADVICE r1).
 inline const char* parse_double(const char* p, const char* end, double* out) {
   while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
   if (p >= end) return nullptr;
-  char* q = nullptr;
-  double v = std::strtod(p, &q);
-  if (q == p) return nullptr;
+  double v = 0.0;
+  auto res = std::from_chars(p, end, v);
+  if (res.ec != std::errc()) return nullptr;
   *out = v;
-  return q;
+  return res.ptr;
 }
 
 struct Frame {

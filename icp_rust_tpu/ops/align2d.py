@@ -103,9 +103,13 @@ def _count_gate(mask: Array, axis_name: str | None = None) -> Array:
 class GNUpdate(NamedTuple):
     delta: Array  # (..., 3) twist update (zeros where not ok)
     ok: Array     # (...,) bool
-    err: Array    # (...,) Huber error at the PRE-update transform (the
-                  # residuals are already in hand, so the inner loop's
-                  # stop-3 check rides along instead of re-walking points)
+    err: Array    # (...,) error at the PRE-update transform, rides along
+                  # because the residuals are already in hand.  UPDATE-
+                  # SPECIFIC semantics: the weighted (IRLS) update fills
+                  # it with the Huber error (what the inner loop's stop-3
+                  # compares, src/lib.rs:75-79); plain gauss_newton_update
+                  # fills it with the unweighted squared-residual sum —
+                  # do not mix the two in one stop-condition chain.
 
 
 def gauss_newton_update(

@@ -19,8 +19,8 @@ formulation possible:
 
 Everything is fixed-shape: sorting and gathers are dense XLA ops, so the
 whole thing jits, vmaps, and shards.  Exactness contract: the returned
-neighbor is the true 1-NN whenever that 1-NN lies within r AND its bucket
-kept it (buckets overflowing ``bucket_cap`` drop the tail; build reports
+neighbor is the true 1-NN whenever that 1-NN lies STRICTLY within r AND
+its bucket kept it (buckets overflowing ``bucket_cap`` drop the tail; build reports
 the overflow fraction so callers can size the table).  Queries with no
 in-radius neighbor return valid=False and must be masked out of the
 solve (GN weights already take a mask).
@@ -172,7 +172,11 @@ def nn_gridhash(
     cand = grid.points[flat]  # (Q, CK, D)
     diff = cand - query[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)  # (Q, CK)
-    vmask = valid.reshape(q, c * bucket_cap) & (d2 <= r * r)
+    # Strict '<': the 3^D neighbor-cell sweep only guarantees coverage for
+    # distance < r (a point at EXACTLY r can sit outside the neighborhood
+    # on an axis), so the filter must match or equally-distant candidates
+    # would be returned inconsistently (ADVICE r1).
+    vmask = valid.reshape(q, c * bucket_cap) & (d2 < r * r)
     d2 = jnp.where(vmask, d2, jnp.inf)
 
     # Lowest-original-index tie-break to match ops.nn: argmin over

@@ -156,6 +156,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Coordinate written into masked/padded db points.  In f32 the squared
+# distance to any real query overflows to +inf on its own; _trim_sentinel
+# makes the same contract hold in f64/interpret runs, where (3e19)^2 is a
+# finite ~9e38 (ADVICE r1): any distance >= sentinel^2/4 can only come
+# from a sentinel point, never from real data.
+_SENTINEL = 3e19
+
+
+def _trim_sentinel(dist_sq: Array) -> Array:
+    return jnp.where(
+        dist_sq >= jnp.asarray(_SENTINEL, dist_sq.dtype) ** 2 / 4,
+        jnp.asarray(jnp.inf, dist_sq.dtype),
+        dist_sq,
+    )
+
+
 def _nn_matched_kernel(q_ref, db_ref, dist_ref, idx_ref, pay_ref,
                        best_d, best_c, best_p, d_dim: int, f_dim: int,
                        db_tile: int, n_db_tiles: int):
@@ -295,7 +311,7 @@ def nn_pallas_matched(
     pad_q = [(0, 0)] * (query.ndim - 2) + [(0, q_pad - q), (0, 0)]
     pad_m = [(0, 0)] * (db.ndim - 2) + [(0, m_pad - m), (0, 0)]
     query_p = jnp.pad(query, pad_q)
-    sentinel = jnp.asarray(3e19, db.dtype)
+    sentinel = jnp.asarray(_SENTINEL, db.dtype)
     if db_mask is not None:
         db = jnp.where(db_mask[..., None], db, sentinel)
     db_p = jnp.pad(db, pad_m, constant_values=sentinel)
@@ -314,6 +330,7 @@ def nn_pallas_matched(
     for _ in batch:
         fn = jax.vmap(fn)
     dist, idx, pay = fn(query_p, dbf_cm)
+    dist = _trim_sentinel(dist)
     return (
         NNResult(index=idx[..., :q], dist_sq=dist[..., :q]),
         pay[..., :q, :],
@@ -342,8 +359,9 @@ def nn_pallas(
     pad_m = [(0, 0)] * (db.ndim - 2) + [(0, m_pad - m), (0, 0)]
     query_p = jnp.pad(query, pad_q)
     # Invalid/padded db points become a distant sentinel: their squared
-    # distance overflows to +inf, so no in-kernel masking is needed.
-    sentinel = jnp.asarray(3e19, db.dtype)  # (2*3e19)^2 > f32 max
+    # distance overflows to +inf (f32) or is trimmed to +inf after the
+    # sweep (f64/interpret), so no in-kernel masking is needed.
+    sentinel = jnp.asarray(_SENTINEL, db.dtype)
     if db_mask is not None:
         db = jnp.where(db_mask[..., None], db, sentinel)
     db_p = jnp.pad(db, pad_m, constant_values=sentinel)
@@ -356,6 +374,7 @@ def nn_pallas(
     for _ in batch:
         fn = jax.vmap(fn)
     dist, idx = fn(query_p, db_cm)
+    dist = _trim_sentinel(dist)
     return NNResult(
         index=idx[..., :q], dist_sq=dist[..., :q]
     )

@@ -126,6 +126,7 @@ def estimate_normals_voxel(
     capacity: int = 1 << 15,
     orient_to: Array | None = None,
     min_points: int = 3,
+    planarity_eps: float = 1e-4,
 ):
     """Per-point unit normals from per-VOXEL covariance PCA — the
     production-fast path (the VGICP formulation: one sorted segment-sum
@@ -134,20 +135,28 @@ def estimate_normals_voxel(
     Every point inherits the normal of its voxel's neighborhood
     statistics.  points: (N, 3); mask: (N,).  Returns (normals (N, 3),
     valid (N,)); invalid where the voxel has < min_points members, was
-    dropped by capacity, or is degenerate.
+    dropped by capacity, lies outside the 1024-cells-per-axis index box
+    (points farther than 1024*voxel_size from the cloud minimum), or is
+    degenerate: voxels whose neighborhood is near-collinear (mid
+    covariance eigenvalue < planarity_eps * largest) have no well-defined
+    plane and are flagged invalid rather than returning an arbitrary
+    eigenvector.
     """
     n_pts, dim = points.shape
     dtype = points.dtype
     big = jnp.iinfo(jnp.int32).max
 
     lo = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
-    cells = jnp.clip(
-        jnp.floor((points - lo) / voxel_size).astype(jnp.int32), 0, 1023
-    )
+    cells = jnp.floor((points - lo) / voxel_size).astype(jnp.int32)
+    # Out-of-box points are INVALID, not clipped: clipping would alias
+    # everything beyond 1024 cells into the border voxel and blend
+    # far-apart surfaces into one "valid" plane.
+    in_box = jnp.all((cells >= 0) & (cells < 1024), axis=-1)
+    cells = jnp.clip(cells, 0, 1023)
     cell_id = cells[:, 0]
     for kk in range(1, dim):
         cell_id = cell_id * 1024 + cells[:, kk]
-    cell_id = jnp.where(mask, cell_id, big)
+    cell_id = jnp.where(mask & in_box, cell_id, big)
 
     order = jnp.argsort(cell_id)
     sid = cell_id[order]
@@ -182,9 +191,15 @@ def estimate_normals_voxel(
         jnp.stack([xy, yy, yz], -1),
         jnp.stack([xz, yz, zz], -1),
     ], -2)  # (capacity, 3, 3)
-    _, evecs = jnp.linalg.eigh(cov)
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
     vox_n = evecs[..., :, 0]  # (capacity, 3) smallest eigenvector
-    vox_ok = cnt[:capacity] >= min_points
+    # Planarity gate: a plane has two spread directions (lam1, lam2 > 0);
+    # a collinear neighborhood has lam1 ~ lam2-relative zero and its
+    # smallest eigenvector is arbitrary within the normal plane.
+    planar = evals[:, 1] > planarity_eps * jnp.maximum(
+        evals[:, 2], jnp.finfo(dtype).tiny
+    )
+    vox_ok = (cnt[:capacity] >= min_points) & planar
 
     # scatter voxel normals back to the ORIGINAL point order; points in
     # voxels dropped by capacity (seg >= capacity) are INVALID, not
