@@ -65,6 +65,13 @@ class ICPConfig:
     # (benchmarks/profile_nn_tiles.py / profile_overhead2.py).
     nn_query_tile: int = 512
     nn_dst_tile: int = 2048
+    # Spatial pre-sort of the point clouds before correspondence search:
+    # "auto" (azimuth sort whenever the pruned Pallas NN kernel is
+    # active — sorting is what makes its bbox tile-pruning bite) |
+    # "azimuth" (always) | "none".  Sorting permutes the point axis only;
+    # the GN solve is order-invariant up to f32 reduction order, so the
+    # f64/XLA parity path keeps "none" semantics by staying off TPU.
+    nn_sort: str = "auto"
     # Inner GN update backend: "pallas" (single-launch fused kernel incl.
     # in-kernel radix-select sigma; taken only on TPU + f32 + unbatched,
     # reduction order differs from "xla" at f32 roundoff) | "xla" (fused

@@ -32,7 +32,12 @@ from jax import Array
 from icp_rust_tpu.config import ICPConfig
 from icp_rust_tpu.geometry.transform2d import RigidTransform2
 from icp_rust_tpu.ops import align2d
-from icp_rust_tpu.ops.nn import nearest_neighbor
+from icp_rust_tpu.ops.nn import (
+    azimuth_order,
+    nearest_neighbor,
+    nearest_neighbor_matched,
+    use_pallas_nn,
+)
 
 
 def _scaled(x: Array, config: ICPConfig) -> Array:
@@ -47,6 +52,38 @@ def _scale_transform(t: RigidTransform2, s: float) -> RigidTransform2:
 
 def _unscale_transform(t: RigidTransform2, s: float) -> RigidTransform2:
     return RigidTransform2(rot=t.rot, t=t.t * s) if s != 1.0 else t
+
+
+def _sort_enabled(src, dst, config: ICPConfig) -> bool:
+    """Azimuth pre-sort policy (config.nn_sort).  Sorting the point axis
+    is what makes the pruned Pallas kernel's tile bboxes spatially tight;
+    it permutes reduction order only (the GN solve is a sum over pairs),
+    so results differ from the unsorted run at f32 roundoff at most.  The
+    f64 parity path stays unsorted via the backend gate."""
+    if config.nn_sort == "azimuth":
+        return True
+    # Sorting only pays when the db spans enough tiles for the kernel's
+    # bbox pruning to bite (nn_pallas skips pruning below 3 tiles).
+    return (
+        config.nn_sort == "auto"
+        and dst.shape[-2] >= 3 * config.nn_dst_tile
+        and use_pallas_nn(src, dst, config.nn_backend, config.nn_method)
+    )
+
+
+def _spatial_sort(points, mask, extras=()):
+    """Sort the point axis by azimuth (masked points last).  extras are
+    per-point arrays permuted alongside ((..., N, K) or (..., N))."""
+    order = azimuth_order(points, mask)
+    pts = jnp.take_along_axis(points, order[..., None], axis=-2)
+    msk = jnp.take_along_axis(mask, order, axis=-1)
+    out = []
+    for e in extras:
+        if e.ndim == pts.ndim:
+            out.append(jnp.take_along_axis(e, order[..., None], axis=-2))
+        else:
+            out.append(jnp.take_along_axis(e, order, axis=-1))
+    return pts, msk, out
 
 
 def _is_identity(dt):
@@ -107,15 +144,19 @@ def icp2d(
     t0 = _scale_transform(
         initial_transform.astype(config.compute_dtype), s
     )
+    if _sort_enabled(src, dst, config):
+        # Once per call (outer iterations reuse the order: a rigid motion
+        # shifts azimuth near-uniformly, preserving tile locality).
+        src, src_mask, _ = _spatial_sort(src, src_mask)
+        dst, dst_mask, _ = _spatial_sort(dst, dst_mask)
 
     def outer(t):
         src_t = t.apply_points(src)
-        match = nearest_neighbor(
+        _, matched = nearest_neighbor_matched(
             src_t, dst, dst_mask, backend=config.nn_backend,
             tile=config.nn_dst_tile, method=config.nn_method,
             q_tile=config.nn_query_tile,
         )
-        matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
         dt = align2d.estimate_transform(src_t, matched, src_mask, config)
         return dt.compose(t), _is_identity(dt)
 
@@ -143,6 +184,9 @@ def icp3d_planar(
     t0 = _scale_transform(
         initial_transform.astype(config.compute_dtype), s
     )
+    if _sort_enabled(src, dst, config):
+        src, src_mask, _ = _spatial_sort(src, src_mask)
+        dst, dst_mask, _ = _spatial_sort(dst, dst_mask)
 
     def transform_xy(t: RigidTransform2, pts: Array) -> Array:
         xy = t.apply_points(pts[..., :2])
@@ -150,12 +194,11 @@ def icp3d_planar(
 
     def outer(t):
         src_t = transform_xy(t, src)  # (..., N, 3)
-        match = nearest_neighbor(
+        _, matched = nearest_neighbor_matched(
             src_t, dst, dst_mask, backend=config.nn_backend,
             tile=config.nn_dst_tile, method=config.nn_method,
             q_tile=config.nn_query_tile,
         )
-        matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
         dt = align2d.estimate_transform(
             src_t[..., :2], matched[..., :2], src_mask, config
         )

@@ -16,9 +16,14 @@ from jax import Array
 
 from icp_rust_tpu.config import ICPConfig
 from icp_rust_tpu.geometry.transform3d import RigidTransform3
-from icp_rust_tpu.models.icp2d import _is_identity, _outer_fixed_point
+from icp_rust_tpu.models.icp2d import (
+    _is_identity,
+    _outer_fixed_point,
+    _sort_enabled,
+    _spatial_sort,
+)
 from icp_rust_tpu.ops import align3d
-from icp_rust_tpu.ops.nn import nearest_neighbor
+from icp_rust_tpu.ops.nn import nearest_neighbor_matched
 from icp_rust_tpu.ops.normals import estimate_normals
 
 
@@ -44,26 +49,41 @@ def icp_point_to_plane(
         initial_transform.t.astype(dtype) / s,
     )
 
+    sort = _sort_enabled(src, dst, config)
+    if sort:
+        src, src_mask, _ = _spatial_sort(src, src_mask)
+
     if dst_normals is None:
+        if sort:
+            dst, dst_mask, _ = _spatial_sort(dst, dst_mask)
         normals, n_valid = estimate_normals(
             dst, dst_mask, k=normals_k, tile=config.nn_dst_tile
         )
     else:
         normals = dst_normals.astype(dtype)
         n_valid = dst_mask
+        if sort:
+            dst, dst_mask, (normals, n_valid) = _spatial_sort(
+                dst, dst_mask, (normals, n_valid)
+            )
+
+    # Per-point payload riding the NN carry: matched point, its normal,
+    # and the normal's validity — one fused sweep replaces three 28k-row
+    # take_along_axis gathers (each as costly as the sweep itself on TPU).
+    payload = jnp.concatenate(
+        [dst, normals, n_valid.astype(dtype)[..., None]], axis=-1
+    )
 
     def outer(t):
         src_t = t.apply_points(src)
-        match = nearest_neighbor(
-            src_t, dst, dst_mask, backend=config.nn_backend,
-            tile=config.nn_dst_tile, method=config.nn_method,
-            q_tile=config.nn_query_tile,
+        _, pay = nearest_neighbor_matched(
+            src_t, dst, dst_mask, payload=payload,
+            backend=config.nn_backend, tile=config.nn_dst_tile,
+            method=config.nn_method, q_tile=config.nn_query_tile,
         )
-        matched = jnp.take_along_axis(dst, match.index[..., None], axis=-2)
-        matched_n = jnp.take_along_axis(
-            normals, match.index[..., None], axis=-2
-        )
-        matched_ok = jnp.take_along_axis(n_valid, match.index, axis=-1)
+        matched = pay[..., 0:3]
+        matched_n = pay[..., 3:6]
+        matched_ok = pay[..., 6] > 0.5
         pair_mask = src_mask & matched_ok
         dt = align3d.estimate_transform_p2l(
             src_t, matched, matched_n, pair_mask, config

@@ -135,6 +135,47 @@ def nn_xla(
     return NNResult(index=best_i, dist_sq=best_d)
 
 
+def azimuth_order(points: Array, mask: Array | None = None) -> Array:
+    """Permutation sorting points by azimuth atan2(y, x), masked points
+    last.
+
+    Spatial pre-sort for the pruned Pallas kernel (ops/nn_pallas.py):
+    tile-level bbox pruning only bites when memory-adjacent points are
+    spatially adjacent.  Real LiDAR packets are already angularly ordered
+    (reference examples/scan3d.rs reads the sensor stream in azimuth
+    order); this restores that property for arbitrarily-ordered clouds.
+    Angular sectors around the sensor give tight per-tile boxes for
+    single-scan data.  O(N log N) once per cloud vs the O(N*M) sweep it
+    accelerates 20x per ICP call (outer iterations reuse the order).
+    """
+    az = jnp.arctan2(points[..., 1], points[..., 0])
+    if mask is not None:
+        az = jnp.where(mask, az, jnp.inf)
+    return jnp.argsort(az, axis=-1).astype(jnp.int32)
+
+
+def use_pallas_nn(query: Array, db: Array, backend: str = "auto",
+                  method: str = "direct") -> bool:
+    """Trace-time resolution of the NN backend dispatch (shared by
+    nearest_neighbor{,_matched} and the drivers' pre-sort decision)."""
+    if backend == "pallas":
+        return True
+    if backend != "auto" or method != "direct":
+        return False
+    # The Pallas kernel computes direct distances only ("mxu" falls
+    # through to the XLA path), and it wins for big single clouds; for
+    # BATCHED small clouds (multi-pair ICP) the vmapped kernel grid-izes
+    # per pair and the fused XLA sweep measures ~25% faster (1.9k vs
+    # 1.5k pairs/s at 209x768 on v5e).
+    batched_small = query.ndim > 2 and db.shape[-2] <= 4096
+    try:
+        from icp_rust_tpu.ops import nn_pallas
+
+        return nn_pallas.available() and not batched_small
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def nearest_neighbor(
     query: Array,
     db: Array,
@@ -152,27 +193,41 @@ def nearest_neighbor(
     an iota+reduce fusion costing ~75 us per (28800, 512) tile — 93% of
     the whole ICP program's device time — while the Pallas kernel's
     per-lane carry replaces every per-tile argmin with elementwise
-    compare+select and runs the full 28800^2 sweep in ~2 ms (VPU
-    roofline is ~1.7 ms).
+    compare+select; with azimuth-sorted clouds its bbox tile-pruning
+    runs the full 28800^2 sweep in ~0.5 ms (benchmarks/
+    profile_nn_prune.py).
     """
-    if backend == "pallas":
+    if use_pallas_nn(query, db, backend, method):
         from icp_rust_tpu.ops import nn_pallas
 
         return nn_pallas.nn_pallas(query, db, db_mask, q_tile=q_tile,
                                    db_tile=tile)
-    if backend == "auto" and method == "direct":
-        # The Pallas kernel computes direct distances only ("mxu" falls
-        # through to the XLA path), and it wins for big single clouds;
-        # for BATCHED small clouds (multi-pair ICP) the vmapped kernel
-        # grid-izes per pair and the fused XLA sweep measures ~25%
-        # faster (1.9k vs 1.5k pairs/s at 209x768 on v5e).
-        batched_small = query.ndim > 2 and db.shape[-2] <= 4096
-        try:
-            from icp_rust_tpu.ops import nn_pallas
-
-            if nn_pallas.available() and not batched_small:
-                return nn_pallas.nn_pallas(query, db, db_mask,
-                                           q_tile=q_tile, db_tile=tile)
-        except ImportError:
-            pass
     return nn_xla(query, db, db_mask, tile=tile, method=method)
+
+
+def nearest_neighbor_matched(
+    query: Array,
+    db: Array,
+    db_mask: Array | None = None,
+    payload: Array | None = None,
+    backend: str = "auto",
+    tile: int = 2048,
+    method: str = "direct",
+    q_tile: int = 512,
+):
+    """1-NN that also returns the winner's payload (default: the matched
+    db point), replacing the caller's post-hoc take_along_axis gather —
+    TPU dynamic gathers at 28k rows cost as much as the pruned distance
+    sweep itself.  Returns (NNResult, matched (..., Q, P))."""
+    if use_pallas_nn(query, db, backend, method):
+        from icp_rust_tpu.ops import nn_pallas
+
+        return nn_pallas.nn_pallas_matched(
+            query, db, db_mask, payload=payload, q_tile=q_tile,
+            db_tile=tile,
+        )
+    res = nn_xla(query, db, db_mask, tile=tile, method=method)
+    if payload is None:
+        payload = db
+    matched = jnp.take_along_axis(payload, res.index[..., None], axis=-2)
+    return res, matched

@@ -293,13 +293,15 @@ def nn_pallas_matched(
     q_tile: int = 256,
     db_tile: int = 2048,
     interpret: bool = False,
+    prune: bool = True,
 ):
     """Exact 1-NN returning (NNResult, matched_payload (..., Q, P)).
 
     payload defaults to the db points themselves, so the common caller
     gets the matched coordinates without any gather.  Extra per-point
     features (normals, validity) can be appended by passing a (..., M, P)
-    payload explicitly.
+    payload explicitly.  ``prune=True`` uses the rotated+bbox-pruned
+    kernel (see _nn_pruned_kernel); exactness is preserved either way.
     """
     *batch, q, d_dim = query.shape
     m = db.shape[-2]
@@ -323,10 +325,18 @@ def nn_pallas_matched(
         [jnp.swapaxes(db_p, -1, -2), jnp.swapaxes(pay_p, -1, -2)], axis=-2
     )
 
-    fn = functools.partial(
-        _nn_matched_2d, d_dim=d_dim, q_tile=q_tile, db_tile=db_tile,
-        interpret=interpret,
-    )
+    if prune and m_pad // db_tile < 3:
+        prune = False
+    if prune:
+        fn = functools.partial(
+            _nn_pruned_2d, d_dim=d_dim, q_tile=q_tile, db_tile=db_tile,
+            interpret=interpret,
+        )
+    else:
+        fn = functools.partial(
+            _nn_matched_2d, d_dim=d_dim, q_tile=q_tile, db_tile=db_tile,
+            interpret=interpret,
+        )
     for _ in batch:
         fn = jax.vmap(fn)
     dist, idx, pay = fn(query_p, dbf_cm)
@@ -337,6 +347,241 @@ def nn_pallas_matched(
     )
 
 
+def _nn_pruned_kernel(q_ref, db_ref, qbox_ref, bbox_ref, dist_ref, idx_ref,
+                      *rest, d_dim: int, f_dim: int, q_tile: int,
+                      db_tile: int, n_db_tiles: int):
+    """Deferred-argmin sweep with DIAGONAL ZIG-ZAG + EXACT TILE PRUNING.
+
+    Two changes over _nn_kernel, both exactness-preserving:
+
+    1. Diagonal-first visit order: query tile i starts its db sweep at
+       its "diagonal" tile s = (i*q_tile)//db_tile and walks ascending to
+       the end (tiles s..n-1), then walks the REMAINING tiles s-1..0 in
+       DESCENDING order (the zig-zag; see tie-break note).  Spatially
+       sorted scans + warm-started ICP mean a query tile's true matches
+       concentrate near the diagonal — visiting it FIRST makes the
+       running carry tight immediately.
+    2. Pruning: per-db-tile bounding boxes (SMEM) give a lower bound on
+       any distance between this query tile's bbox and the db tile; if
+       that bound exceeds the carry's WORST per-lane best (maxd, SMEM
+       scalar), no lane can be improved or tied, so the tile's compute is
+       skipped (the DMA still streams — the kernel is compute-bound, the
+       full 28800-pt stream is ~59 us of the ~2 ms budget).
+
+    Exactness: pruning uses a strict bound test, so any candidate with
+    dist <= best_d[lane] survives (lb <= dist <= best <= maxd passes);
+    tie-break stays EXACTLY lowest-global-index with no per-pair index
+    compare because of the zig-zag: the ascending segment visits
+    ascending chunk ids with strict '<' (first seen = lowest wins), and
+    the wrap segment visits strictly DESCENDING chunk ids (tiles s-1..0,
+    chunks reversed within each tile) — all of them lower than anything
+    in segment one — with '<=', so on a tie the latest (= lowest-id)
+    candidate wins.
+
+    With f_dim > 0 the winner's payload rides along exactly as in
+    _nn_matched_kernel.
+    """
+    if f_dim:
+        pay_ref, best_d, best_c, best_p, maxd = rest
+    else:
+        best_d, best_c, maxd = rest
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    chunks = db_tile // 128
+    start = (i * q_tile) // db_tile
+    wrap = j >= n_db_tiles - start  # second (descending) segment?
+    actual = jnp.where(wrap, n_db_tiles - 1 - j, start + j)
+
+    @pl.when(j == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d, jnp.inf)
+        best_c[:] = jnp.zeros_like(best_c)
+        if f_dim:
+            best_p[:] = jnp.zeros_like(best_p)
+        maxd[0] = jnp.asarray(jnp.inf, maxd.dtype)
+
+    # Scalar bbox-to-bbox lower bound (SMEM reads; runs on the scalar core
+    # while the previous tile's vector work drains).
+    lb = jnp.asarray(0.0, best_d.dtype)
+    for k in range(d_dim):
+        a = bbox_ref[actual, k] - qbox_ref[i, 4 + k]   # db_lo - q_hi
+        b = qbox_ref[i, k] - bbox_ref[actual, 4 + k]   # q_lo - db_hi
+        g = jnp.maximum(jnp.maximum(a, b), 0.0)
+        lb = lb + g * g
+
+    def sweep(reverse: bool):
+        """One tile's chunk loop; reverse => descending ids with '<='."""
+        q = q_ref[:]  # (TQ, D)
+        tq = q.shape[0]
+        base = actual * chunks
+        order = range(chunks - 1, -1, -1) if reverse else range(chunks)
+        for c in order:
+            sl = slice(c * 128, (c + 1) * 128)
+            dist = jnp.zeros((tq, 128), dtype=best_d.dtype)
+            for k in range(d_dim):
+                diff = q[:, k:k + 1] - db_ref[k:k + 1, sl]  # (TQ, 128)
+                dist = dist + diff * diff
+            bd = best_d[:]
+            better = (dist <= bd) if reverse else (dist < bd)
+            best_d[:] = jnp.where(better, dist, bd)
+            best_c[:] = jnp.where(better, base + c, best_c[:])
+            if f_dim:
+                for f in range(f_dim):
+                    best_p[:, f * 128:(f + 1) * 128] = jnp.where(
+                        better, db_ref[d_dim + f:d_dim + f + 1, sl],
+                        best_p[:, f * 128:(f + 1) * 128],
+                    )
+        # Pruning bound: the worst QUERY'S current best (min over its
+        # lane carries), not the worst lane carry.  Exact for the final
+        # output: a skipped candidate has dist >= lb > maxd >= its
+        # query's min, so it can change neither the epilogue's
+        # min-over-lanes nor (strictness) its tie set.
+        maxd[0] = jnp.max(jnp.min(best_d[:], axis=1))
+
+    run = (j == 0) | (lb <= maxd[0])
+
+    @pl.when(run & ~wrap)
+    def _work_fwd():
+        sweep(reverse=False)
+
+    @pl.when(run & wrap)
+    def _work_rev():
+        sweep(reverse=True)
+
+    @pl.when(j == n_db_tiles - 1)
+    def _epilogue():
+        bd = best_d[:]  # (TQ, 128)
+        m = jnp.min(bd, axis=1, keepdims=True)  # (TQ, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+        gidx = best_c[:] * 128 + lane
+        big = jnp.iinfo(jnp.int32).max
+        cand = jnp.where(bd == m, gidx, big)
+        winner_idx = jnp.min(cand, axis=1, keepdims=True)
+        dist_ref[:] = m
+        idx_ref[:] = winner_idx
+        if f_dim:
+            one_hot = cand == winner_idx
+            for f in range(f_dim):
+                pf = best_p[:, f * 128:(f + 1) * 128]
+                pay_ref[:, f:f + 1] = jnp.sum(
+                    jnp.where(one_hot, pf, 0.0), axis=1, keepdims=True
+                )
+
+
+def _tile_boxes(cm: Array, tile: int) -> Array:
+    """Per-tile coordinate bounds of a sentinel-padded coordinate-major
+    cloud.  cm: (R, M) with rows 0..d-1 = coordinates (payload rows, if
+    any, are ignored by the caller passing only the coordinate rows).
+    Returns (M//tile, 8): cols 0..3 = lo (inf where the tile is all
+    sentinel), cols 4..7 = hi (-inf likewise) — an empty tile's lower
+    bound is +inf, so it is pruned whenever anything real has been seen.
+    """
+    d, m = cm.shape
+    n_tiles = m // tile
+    t = cm.reshape(d, n_tiles, tile)
+    valid = t[0] < _SENTINEL / 2  # sentinel marks whole points
+    lo = jnp.min(jnp.where(valid[None], t, jnp.inf), axis=-1)   # (d, n)
+    hi = jnp.max(jnp.where(valid[None], t, -jnp.inf), axis=-1)  # (d, n)
+    pad = ((0, 4 - d), (0, 0))
+    lo = jnp.pad(lo, pad)
+    hi = jnp.pad(hi, pad, constant_values=0.0)
+    return jnp.concatenate([lo, hi], axis=0).T  # (n_tiles, 8)
+
+
+def _query_boxes(query_p: Array, tile: int) -> Array:
+    """(Q//tile, 8) per-query-tile bounds (padding zeros included — they
+    only widen the box, which is conservative)."""
+    q, d = query_p.shape
+    n_tiles = q // tile
+    t = query_p.reshape(n_tiles, tile, d)
+    lo = jnp.min(t, axis=1)  # (n, d)
+    hi = jnp.max(t, axis=1)
+    pad = ((0, 0), (0, 4 - d))
+    return jnp.concatenate(
+        [jnp.pad(lo, pad), jnp.pad(hi, pad)], axis=-1
+    )  # (n_tiles, 8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d_dim", "q_tile", "db_tile", "interpret")
+)
+def _nn_pruned_2d(
+    query: Array,
+    dbf_cm: Array,
+    d_dim: int,
+    q_tile: int = 256,
+    db_tile: int = 512,
+    interpret: bool = False,
+):
+    """query: (Q, D); dbf_cm: (F, M) rows = D coords (sentinel-padded)
+    then optional payload rows.  Returns (dist, idx[, payload])."""
+    q = query.shape[0]
+    f_total, m = dbf_cm.shape
+    f_dim = f_total - d_dim
+    n_q_tiles = q // q_tile
+    n_db_tiles = m // db_tile
+
+    qbox = _query_boxes(query, q_tile)
+    bbox = _tile_boxes(dbf_cm[:d_dim], db_tile)
+
+    kernel = functools.partial(
+        _nn_pruned_kernel, d_dim=d_dim, f_dim=f_dim, q_tile=q_tile,
+        db_tile=db_tile, n_db_tiles=n_db_tiles,
+    )
+    grid = (n_q_tiles, n_db_tiles)
+
+    def rot(i, j):
+        # Zig-zag: ascending from the diagonal tile, then the remaining
+        # tiles in descending order (must mirror _nn_pruned_kernel).
+        start = (i * q_tile) // db_tile
+        return (0, jnp.where(j >= n_db_tiles - start,
+                             n_db_tiles - 1 - j, start + j))
+    out_specs = [
+        pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((q, 1), query.dtype),
+        jax.ShapeDtypeStruct((q, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((q_tile, 128), query.dtype),
+        pltpu.VMEM((q_tile, 128), jnp.int32),
+    ]
+    if f_dim:
+        out_specs.append(
+            pl.BlockSpec((q_tile, f_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((q, f_dim), query.dtype))
+        scratch.append(pltpu.VMEM((q_tile, 128 * f_dim), query.dtype))
+    scratch.append(pltpu.SMEM((1,), query.dtype))  # maxd
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, d_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_total, db_tile), rot,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(query, dbf_cm, qbox, bbox)
+    if f_dim:
+        dist, idx, pay = out
+        return dist[:, 0], idx[:, 0], pay
+    dist, idx = out
+    return dist[:, 0], idx[:, 0]
+
+
 def nn_pallas(
     query: Array,
     db: Array,
@@ -344,11 +589,14 @@ def nn_pallas(
     q_tile: int = 256,
     db_tile: int = 512,
     interpret: bool = False,
+    prune: bool = True,
 ) -> NNResult:
     """Exact 1-NN via the Pallas kernel; same contract as ops.nn.nn_xla.
 
     Handles padding to tile multiples and arbitrary leading batch dims
-    (vmapped over the kernel).
+    (vmapped over the kernel).  ``prune=True`` (default) uses the
+    rotated+bbox-pruned kernel (_nn_pruned_kernel) — exact, including
+    tie-breaks; ``prune=False`` keeps the plain linear sweep.
     """
     *batch, q, d_dim = query.shape
     m = db.shape[-2]
@@ -368,9 +616,20 @@ def nn_pallas(
 
     db_cm = jnp.swapaxes(db_p, -1, -2)  # (..., D, M)
 
-    fn = functools.partial(
-        _nn_pallas_2d, q_tile=q_tile, db_tile=db_tile, interpret=interpret
-    )
+    # With <3 db tiles there is nothing to prune (tile 0 always runs and
+    # the bound only settles after it); skip the bbox/SMEM overhead.
+    if prune and m_pad // db_tile < 3:
+        prune = False
+    if prune:
+        fn = functools.partial(
+            _nn_pruned_2d, d_dim=d_dim, q_tile=q_tile, db_tile=db_tile,
+            interpret=interpret,
+        )
+    else:
+        fn = functools.partial(
+            _nn_pallas_2d, q_tile=q_tile, db_tile=db_tile,
+            interpret=interpret,
+        )
     for _ in batch:
         fn = jax.vmap(fn)
     dist, idx = fn(query_p, db_cm)
