@@ -74,7 +74,14 @@ def log(rot: Array) -> Array:
     sin_t = jnp.sin(theta)
     safe_sin = jnp.where(small | near_pi, jnp.ones_like(sin_t), sin_t)
     generic = (theta / (2.0 * safe_sin))[..., None] * skew
-    taylor = 0.5 * (1.0 + theta[..., None] ** 2 / 12.0) * skew
+    # Taylor branch: theta^2 must NOT come from arccos — d(arccos)/dc is
+    # -1/sqrt(1-c^2) = -inf at c=1, so any use of `theta` here would make
+    # jacfwd(log) NaN at the identity (exactly where pose-graph edge
+    # Jacobians are evaluated: a chain edge at its own measurement has
+    # rel == I bitwise).  3 - tr = theta^2 + O(theta^4) is polynomial in
+    # rot; the O(theta^4) slack is below eps at the branch threshold.
+    t2 = jnp.clip(3.0 - tr, 0.0, None)
+    taylor = 0.5 * (1.0 + t2[..., None] / 12.0) * skew
 
     # Near pi: R = I + 2 axis axis^T - ... -> axis_i^2 = (R_ii + 1)/2.
     diag = jnp.stack(

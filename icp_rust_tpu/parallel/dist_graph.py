@@ -1,23 +1,23 @@
 """Distributed pose-graph Gauss-Newton: edges sharded across the mesh.
 
 The distributed normal-equations reduction promised by the north star
-(BASELINE.json): poses are replicated (they are tiny — 3 DoF each), edges
-partition across devices, and every H @ x / J^T r contraction is a local
-edge-wise product followed by a ``psum``.  CG iterations run replicated on
-identical data, so all devices stay in lockstep without any further
-synchronization.
+(BASELINE.json): poses are replicated (they are tiny — 3 or 6 DoF each),
+edges partition across devices, and every H @ x / J^T r contraction is a
+local edge-wise product followed by a ``psum``.  CG iterations run
+replicated on identical data, so all devices stay in lockstep without any
+further synchronization.
+
+Dimension-generic like models/pose_graph.py: SE(2) and SE(3) graphs both
+shard the same way (the twist dof rides along in the block shapes).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
 
-from icp_rust_tpu.geometry.transform2d import RigidTransform2
 from icp_rust_tpu.models import pose_graph as pg
 
 
@@ -27,6 +27,8 @@ def _pad_edges(graph: pg.PoseGraph, multiple: int) -> pg.PoseGraph:
     if target == e:
         return graph
     pad = target - e
+    tcls, dof = pg._group(graph.poses)
+    dim = graph.poses.t.shape[-1]
     dtype = graph.poses.t.dtype
     return pg.PoseGraph(
         poses=graph.poses,
@@ -36,16 +38,17 @@ def _pad_edges(graph: pg.PoseGraph, multiple: int) -> pg.PoseGraph:
         edge_j=jnp.concatenate(
             [graph.edge_j, jnp.ones(pad, jnp.int32)]
         ),
-        meas=RigidTransform2(
+        meas=tcls(
             jnp.concatenate(
                 [graph.meas.rot,
-                 jnp.broadcast_to(jnp.eye(2, dtype=dtype), (pad, 2, 2))]
+                 jnp.broadcast_to(jnp.eye(dim, dtype=dtype),
+                                  (pad, dim, dim))]
             ),
-            jnp.concatenate([graph.meas.t, jnp.zeros((pad, 2), dtype)]),
+            jnp.concatenate([graph.meas.t, jnp.zeros((pad, dim), dtype)]),
         ),
         info=jnp.concatenate(
             [graph.info,
-             jnp.broadcast_to(jnp.eye(3, dtype=dtype), (pad, 3, 3))]
+             jnp.broadcast_to(jnp.eye(dof, dtype=dtype), (pad, dof, dof))]
         ),
         edge_mask=jnp.concatenate([graph.edge_mask, jnp.zeros(pad, bool)]),
     )
@@ -59,25 +62,27 @@ def optimize_distributed(
     huber_k: float | None = None,
     kernel: str = "huber",
     edge_axis: str = "dp",
+    delta_tol: float = 1e-10,
 ) -> pg.PoseGraph:
     """Edge-sharded GN+CG over ``mesh``; result matches the single-device
     ``pose_graph.optimize(..., solve="cg")`` to fp accuracy."""
     n_dev = mesh.shape[edge_axis]
     graph = _pad_edges(graph, n_dev)
+    tcls, dof = pg._group(graph.poses)
     p = graph.poses.t.shape[0]
     dtype = graph.poses.t.dtype
-    gauge = pg._gauge_prior(p, dtype)
+    gauge = pg._gauge_prior(p, dof, dtype)
 
     def local(poses_rot, poses_t, ei, ej, z_rot, z_t, info, emask):
         g = pg.PoseGraph(
-            poses=RigidTransform2(poses_rot, poses_t),
+            poses=tcls(poses_rot, poses_t),
             edge_i=ei, edge_j=ej,
-            meas=RigidTransform2(z_rot, z_t),
+            meas=tcls(z_rot, z_t),
             info=info, edge_mask=emask,
         )
 
         def gn_step(carry, _):
-            g_loc, = carry
+            g_loc, done = carry
             r, ji, jj = pg.edge_residuals_and_jacobians(g_loc)
             w = pg._edge_weights(r, g_loc.info, g_loc.edge_mask, huber_k,
                                  kernel)
@@ -85,8 +90,12 @@ def optimize_distributed(
             diag_blocks = jax.lax.psum(
                 _local_diag(g_loc, ji, jj, w, p), edge_axis
             )
+            # Gauge prior in the preconditioner too (see
+            # pose_graph._block_jacobi_inv) — identical on all devices.
             minv = jnp.linalg.inv(
-                diag_blocks + 1e-8 * jnp.eye(3, dtype=dtype)
+                diag_blocks
+                + jax.vmap(jnp.diag)(gauge.reshape(p, dof))
+                + 1e-8 * jnp.eye(dof, dtype=dtype)
             )
 
             def hx(x):
@@ -99,16 +108,25 @@ def optimize_distributed(
 
             def prec(x):
                 return jnp.einsum(
-                    "pij,pj->pi", minv, x.reshape(p, 3)
-                ).reshape(3 * p)
+                    "pij,pj->pi", minv, x.reshape(p, dof)
+                ).reshape(dof * p)
 
             delta, _ = jax.scipy.sparse.linalg.cg(
                 hx, -b, M=prec, maxiter=cg_iters
             )
-            stepped = RigidTransform2.from_twist(delta.reshape(p, 3))
-            return (g_loc._replace(poses=stepped.compose(g_loc.poses)),), None
+            # Identical on every device (replicated inputs, deterministic
+            # CG), so the early exit stays in lockstep without a psum.
+            delta = jnp.where(done, 0.0, delta)
+            stepped = tcls.from_twist(delta.reshape(p, dof))
+            done = done | (jnp.sum(delta * delta) < delta_tol)
+            return (
+                g_loc._replace(poses=stepped.compose(g_loc.poses)),
+                done,
+            ), None
 
-        (g_out,), _ = jax.lax.scan(gn_step, (g,), None, length=iters)
+        (g_out, _), _ = jax.lax.scan(
+            gn_step, (g, jnp.zeros((), bool)), None, length=iters
+        )
         return g_out.poses.rot, g_out.poses.t
 
     spec_e = P(edge_axis)
@@ -123,14 +141,15 @@ def optimize_distributed(
         graph.poses.rot, graph.poses.t, graph.edge_i, graph.edge_j,
         graph.meas.rot, graph.meas.t, graph.info, graph.edge_mask,
     )
-    return graph._replace(poses=RigidTransform2(rot, t))
+    return graph._replace(poses=tcls(rot, t))
 
 
 def _local_diag(g: pg.PoseGraph, ji, jj, w, p: int) -> Array:
+    dof = ji.shape[-1]
     wi = w[:, None, None]
     a_ii = wi * jnp.einsum("eki,ekl,elj->eij", ji, g.info, ji)
     a_jj = wi * jnp.einsum("eki,ekl,elj->eij", jj, g.info, jj)
-    diag = jnp.zeros((p, 3, 3), dtype=w.dtype)
+    diag = jnp.zeros((p, dof, dof), dtype=w.dtype)
     diag = diag.at[g.edge_i].add(a_ii)
     diag = diag.at[g.edge_j].add(a_jj)
     return diag
