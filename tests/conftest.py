@@ -1,27 +1,49 @@
 """Test harness setup.
 
-Tests run on a virtual 8-device CPU mesh (the standard JAX stand-in for a
-pod, per SURVEY.md §4) with float64 enabled so the parity suite can compare
-against the reference's f64 semantics exactly.
+Default tier: tests run on a virtual 8-device CPU mesh (the standard JAX
+stand-in for a pod, per SURVEY.md §4) with float64 enabled so the parity
+suite can compare against the reference's f64 semantics exactly.
+
+Hardware tier (`ICP_TPU_TESTS=1 python -m pytest tests -m tpu`): keeps the
+machine's axon TPU backend (remote dial ~80 s) and runs the @pytest.mark.tpu
+tests — real-Mosaic kernel parity, not interpret mode (VERDICT r1 #3:
+interpret already diverged from Mosaic twice).  f64 stays off — TPU has no
+native f64 and the hardware tier tests the f32 production path.
 
 Note: this environment's sitecustomize imports jax and registers the 'axon'
 TPU plugin at interpreter start; initializing that backend dials a remote
-TPU and costs ~80s.  We switch the already-imported jax to CPU and drop the
-axon factory before any backend initialization happens.
+TPU and costs ~80s.  For the CPU tier we switch the already-imported jax to
+CPU and drop the axon factory before any backend initialization happens.
 """
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-)
+import pytest
 
-import jax  # noqa: E402
+TPU_TIER = os.environ.get("ICP_TPU_TESTS") == "1"
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not TPU_TIER:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
-from jax._src import xla_bridge  # noqa: E402
+    import jax
 
-xla_bridge._backend_factories.pop("axon", None)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from jax._src import xla_bridge
+
+    xla_bridge._backend_factories.pop("axon", None)
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_TIER:
+        return
+    skip = pytest.mark.skip(
+        reason="TPU hardware tier (run with ICP_TPU_TESTS=1 -m tpu)"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

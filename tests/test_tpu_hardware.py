@@ -1,0 +1,266 @@
+"""Real-Mosaic kernel parity tests (TPU hardware tier).
+
+Run with:  ICP_TPU_TESTS=1 python -m pytest tests -m tpu -q
+
+Every Pallas kernel is asserted against the XLA path ON THE DEVICE —
+interpret mode has already diverged from compiled Mosaic twice (sublane
+alignment, argmin fusion), so this tier is the actual correctness gate for
+the production f32 path (VERDICT r1 #3).  Everything is f32: TPU has no
+native f64 and the CPU tier owns the f64 parity story.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+F32 = jnp.float32
+
+
+def _require_tpu():
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        pytest.skip("no TPU backend available")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _tpu_only():
+    _require_tpu()
+
+
+# ---------------------------------------------------------------- NN kernel
+
+
+def _clouds(q=300, m=1100, d=3, seed=0, masked=True):
+    rng = np.random.default_rng(seed)
+    query = jnp.asarray(rng.uniform(-3, 3, (q, d)), F32)
+    db = jnp.asarray(rng.uniform(-3, 3, (m, d)), F32)
+    db_mask = (
+        jnp.asarray(rng.random(m) > 0.15) if masked else jnp.ones(m, bool)
+    )
+    return query, db, db_mask
+
+
+@pytest.mark.parametrize("d", [2, 3])
+@pytest.mark.parametrize("prune", [False, True])
+def test_nn_kernel_matches_xla_odd_sizes(d, prune):
+    """Odd (non-tile-multiple) sizes exercise the padding edges."""
+    from icp_rust_tpu.ops.nn import nn_xla
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas
+
+    query, db, db_mask = _clouds(q=300, m=1700, d=d, seed=d)
+    got = nn_pallas(query, db, db_mask, q_tile=256, db_tile=512,
+                    prune=prune)
+    want = nn_xla(query, db, db_mask)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    np.testing.assert_allclose(np.asarray(got.dist_sq),
+                               np.asarray(want.dist_sq), rtol=1e-6)
+
+
+def test_nn_kernel_tie_break_lowest_index():
+    from icp_rust_tpu.ops.nn import nn_xla
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas
+
+    q = jnp.zeros((256, 2), F32)
+    db = jnp.tile(jnp.asarray([[1.0, 0.0]], F32), (1536, 1))
+    for prune in (False, True):
+        got = nn_pallas(q, db, q_tile=256, db_tile=512, prune=prune)
+        want = nn_xla(q, db)
+        np.testing.assert_array_equal(np.asarray(got.index),
+                                      np.asarray(want.index))
+        assert int(got.index[0]) == 0
+
+
+def test_nn_kernel_fully_masked_db():
+    """All-masked db: dist +inf everywhere, indices still in-range."""
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas
+
+    query, db, _ = _clouds(q=256, m=1536)
+    got = nn_pallas(query, db, jnp.zeros(1536, bool), q_tile=256,
+                    db_tile=512)
+    assert np.all(np.isposinf(np.asarray(got.dist_sq)))
+    idx = np.asarray(got.index)
+    assert np.all((idx >= 0) & (idx < 1536))
+
+
+def test_nn_matched_payload_parity():
+    """Payload-carrying kernel (p2l shape: 7 features) vs gathers."""
+    from icp_rust_tpu.ops.nn import nn_xla
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas_matched
+
+    query, db, db_mask = _clouds(q=300, m=1700, d=3, seed=7)
+    payload = jnp.concatenate(
+        [db, db * 2.0, db_mask.astype(F32)[..., None]], axis=-1
+    )
+    for prune in (False, True):
+        res, pay = nn_pallas_matched(query, db, db_mask, payload=payload,
+                                     q_tile=256, db_tile=512, prune=prune)
+        want = nn_xla(query, db, db_mask)
+        np.testing.assert_array_equal(np.asarray(res.index),
+                                      np.asarray(want.index))
+        gat = np.asarray(payload)[np.asarray(want.index)]
+        np.testing.assert_array_equal(np.asarray(pay), gat)
+
+
+def test_nn_pruned_sorted_layout_parity():
+    """The production layout: azimuth-sorted clouds + pruned kernel."""
+    from icp_rust_tpu.ops.nn import azimuth_order, nn_xla
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas
+
+    query, db, db_mask = _clouds(q=512, m=6144, d=3, seed=11)
+    qo = azimuth_order(query)
+    do = azimuth_order(db, db_mask)
+    query = query[qo]
+    db, db_mask = db[do], db_mask[do]
+    got = nn_pallas(query, db, db_mask, q_tile=256, db_tile=512, prune=True)
+    want = nn_xla(query, db, db_mask)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+
+
+# ------------------------------------------------------------- GN kernels
+
+
+def _gn_problem(seed=0, n=384, masked=True):
+    rng = np.random.default_rng(seed)
+    src = rng.uniform(-2, 2, (n, 2)).astype(np.float32)
+    c, s = np.cos(0.15), np.sin(0.15)
+    dst = src @ np.array([[c, -s], [s, c]], np.float32).T + np.array(
+        [0.3, -0.2], np.float32)
+    dst += rng.normal(0, 0.05, dst.shape).astype(np.float32)
+    dst[::17] += 3.0
+    mask = (rng.random(n) > 0.2) if masked else np.ones(n, bool)
+    return jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask)
+
+
+def test_gn_stats_kernel_matches_xla_on_device():
+    from icp_rust_tpu.geometry.transform2d import RigidTransform2
+    from icp_rust_tpu.ops import align2d, linalg
+    from icp_rust_tpu.ops.align2d_pallas import assemble_update, gn_stats_pallas
+
+    src, dst, mask = _gn_problem()
+    t = RigidTransform2.identity(dtype=F32)
+    ref = align2d.weighted_gauss_newton_update(t, src, dst, mask, 1.345)
+    stats = gn_stats_pallas(src, dst, mask, t.rot, t.t, 1.345)
+    jtj, jtr, err, nf, sig_x, sig_y = assemble_update(stats, t.rot)
+    x, ok = linalg.solve3x3(jtj, jtr, 0.0)
+    np.testing.assert_allclose(np.asarray(-x), np.asarray(ref.delta),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(err), float(ref.err), rtol=1e-4)
+    assert int(nf) == int(mask.sum())
+
+
+def test_gn_batched_kernel_matches_per_pair_on_device():
+    from icp_rust_tpu.ops.align2d_pallas import (
+        gn_stats_pallas,
+        gn_stats_pallas_batched,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n = 4, 256
+    src = jnp.asarray(rng.uniform(-2, 2, (b, n, 2)), F32)
+    dst = src + jnp.asarray(rng.normal(0, 0.1, (b, n, 2)), F32)
+    mask = jnp.asarray(rng.random((b, n)) > 0.2)
+    mask = mask.at[3].set(False)  # fully-masked pair
+    c, s = np.cos(0.2), np.sin(0.2)
+    rot = jnp.broadcast_to(jnp.asarray([[c, -s], [s, c]], F32), (b, 2, 2))
+    t = jnp.asarray(rng.normal(0, 0.1, (b, 2)), F32)
+    got = gn_stats_pallas_batched(src, dst, mask, rot, t, 1.345)
+    for i in range(b):
+        want = gn_stats_pallas(src[i], dst[i], mask[i], rot[i], t[i], 1.345)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_whole_loop_kernel_matches_xla_loop_on_device():
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.ops import align2d
+    from icp_rust_tpu.ops.align2d_pallas import estimate_transform_pallas
+
+    src, dst, mask = _gn_problem(seed=3, n=384)
+    cfg = ICPConfig(compute_dtype=F32, det_rel_eps=1e-9,
+                    align_backend="xla")
+    t_ref = align2d.estimate_transform(src, dst, mask, cfg)
+    rot, t = estimate_transform_pallas(
+        src, dst, mask, cfg.huber_k, cfg.det_rel_eps,
+        cfg.inner_delta_sq_tol, cfg.inner_max_iter, 1.0,
+    )
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(t_ref.rot),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref.t),
+                               atol=5e-5)
+
+
+def test_whole_loop_kernel_degenerate_on_device():
+    """Perfect fit -> sigma 0 -> not ok -> identity (Option::None)."""
+    from icp_rust_tpu.ops.align2d_pallas import estimate_transform_pallas
+
+    src = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (128, 2)), F32)
+    rot, t = estimate_transform_pallas(
+        src, src, jnp.ones(128, bool), 1.345, 1e-9, 1e-6, 200, 1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(rot), np.eye(2, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(t), np.zeros(2, np.float32))
+
+
+def test_p2l_loop_kernel_matches_xla_on_device():
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.ops import align3d
+    from icp_rust_tpu.ops.align3d_pallas import estimate_transform_p2l_pallas
+
+    rng = np.random.default_rng(5)
+    n = 1280
+    src = jnp.asarray(rng.uniform(-2, 2, (n, 3)), F32)
+    c, s = np.cos(0.05), np.sin(0.05)
+    rot_gt = np.array(
+        [[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    dst = src @ jnp.asarray(rot_gt.T) + jnp.asarray([0.1, -0.05, 0.02], F32)
+    dst = dst + jnp.asarray(rng.normal(0, 0.01, (n, 3)), F32)
+    normals = jnp.asarray(rng.normal(size=(n, 3)), F32)
+    normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    mask = jnp.asarray(rng.random(n) > 0.1)
+
+    cfg = ICPConfig(compute_dtype=F32, align_backend="xla")
+    t_ref = align3d.estimate_transform_p2l(src, dst, normals, mask, cfg)
+    rot, t = estimate_transform_p2l_pallas(
+        src, dst, normals, mask, cfg.huber_k, cfg.inner_delta_sq_tol,
+        cfg.inner_max_iter, 1.0,
+    )
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(t_ref.rot),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref.t),
+                               atol=1e-4)
+
+
+# -------------------------------------------------------- end-to-end smoke
+
+
+def test_fused_odometry_smoke_on_device():
+    """5-frame fused odometry, production (pallas) vs xla backends."""
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.models.odometry import run_odometry_fused
+
+    rng = np.random.default_rng(0)
+    f, n = 5, 1024
+    base = rng.uniform(-5, 5, (n, 2)).astype(np.float32)
+    frames = []
+    for k in range(f):
+        th = 0.02 * k
+        c, s = np.cos(th), np.sin(th)
+        rot = np.array([[c, -s], [s, c]], np.float32)
+        frames.append(base @ rot.T + np.array([0.1 * k, 0.0], np.float32)
+                      + rng.normal(0, 0.005, (n, 2)).astype(np.float32))
+    frames = np.stack(frames)
+    masks = np.ones((f, n), bool)
+
+    cfg_p = ICPConfig(compute_dtype=F32, align_backend="pallas",
+                      nn_backend="pallas")
+    cfg_x = ICPConfig(compute_dtype=F32, align_backend="xla",
+                      nn_backend="xla")
+    _, path_p = run_odometry_fused(frames, masks, cfg_p)
+    _, path_x = run_odometry_fused(frames, masks, cfg_x)
+    assert np.all(np.isfinite(path_p))
+    np.testing.assert_allclose(path_p, path_x, atol=2e-3)
