@@ -127,6 +127,36 @@ def main():
               q, d, m, q_tile=256, db_tile=512, prune=True)[0]),
           src_az, dst_az, dm_az)
 
+    # p2l-shaped payload: point + normal + validity = 7 features riding
+    # the carry (models/icp_p2l.py) vs separate gathers.
+    pay7 = jnp.concatenate(
+        [dst_az, dst_az, dm_az.astype(jnp.float32)[..., None]], axis=-1
+    )
+    for qt, dt_ in ((256, 2048), (256, 512)):
+        timed(f"MATCHED-P7 pruned-sorted q={qt} db={dt_}",
+              chain(lambda q, d, m, a=qt, b=dt_: nn_pallas_matched(
+                  q, d, m, payload=pay7, q_tile=a, db_tile=b,
+                  prune=True)[0]),
+              src_az, dst_az, dm_az)
+        timed(f"MATCHED-P7 plain          q={qt} db={dt_}",
+              chain(lambda q, d, m, a=qt, b=dt_: nn_pallas_matched(
+                  q, d, m, payload=pay7, q_tile=a, db_tile=b,
+                  prune=False)[0]),
+              src_az, dst_az, dm_az)
+
+    @jax.jit
+    def nn_plus_gathers(q, d, m):
+        res = nn_pallas(q, d, m, q_tile=256, db_tile=2048, prune=True)
+        matched = jnp.take_along_axis(d, res.index[..., None], axis=-2)
+        matched_n = jnp.take_along_axis(d, res.index[..., None], axis=-2)
+        ok = jnp.take_along_axis(m, res.index, axis=-1)
+        return matched[0, 0] + matched_n[0, 0] + ok[0]
+
+    out = nn_plus_gathers(src_az, dst_az, dm_az); np.asarray(out)
+    t0 = time.perf_counter(); np.asarray(nn_plus_gathers(src_az, dst_az, dm_az))
+    print(f"pruned NN + 3 gathers, 1 call (incl ~27ms tunnel): "
+          f"{(time.perf_counter()-t0)*1e3:.2f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -24,7 +24,7 @@ from icp_rust_tpu.models.icp2d import (
 )
 from icp_rust_tpu.ops import align3d
 from icp_rust_tpu.ops.nn import nearest_neighbor_matched
-from icp_rust_tpu.ops.normals import estimate_normals
+from icp_rust_tpu.ops.normals import estimate_normals, estimate_normals_voxel
 
 
 def icp_point_to_plane(
@@ -36,10 +36,20 @@ def icp_point_to_plane(
     config: ICPConfig = ICPConfig(),
     normals_k: int = 8,
     dst_normals: Array | None = None,
+    normals_method: str = "voxel",
+    normals_voxel_size: float = 0.3,
 ) -> RigidTransform3:
     """src/dst: (..., N|M, 3).  Returns the SE(3) transform taking src to
     dst.  Pass ``dst_normals`` to reuse precomputed normals (e.g. for a
-    persistent submap)."""
+    persistent submap).
+
+    Default normals come from voxel-PCA (``normals_method="voxel"``,
+    VGICP-style one-pass segment sums — the path every published number
+    uses; ~300x faster than k-NN at 28k points on TPU and measurably more
+    accurate on planar LiDAR data).  ``normals_method="knn"`` keeps exact
+    per-point k-neighborhood PCA (O(N*M) sweep) for small or non-uniform
+    clouds; tune ``normals_voxel_size`` to the sensor scale (the voxel
+    must span several points of the densest surface)."""
     s = config.point_scale
     dtype = config.compute_dtype
     src = src.astype(dtype) / s
@@ -56,9 +66,15 @@ def icp_point_to_plane(
     if dst_normals is None:
         if sort:
             dst, dst_mask, _ = _spatial_sort(dst, dst_mask)
-        normals, n_valid = estimate_normals(
-            dst, dst_mask, k=normals_k, tile=config.nn_dst_tile
-        )
+        if normals_method == "voxel":
+            fn = estimate_normals_voxel
+            for _ in range(dst.ndim - 2):  # (..., M, 3) -> vmap batch dims
+                fn = jax.vmap(fn, in_axes=(0, 0, None))
+            normals, n_valid = fn(dst, dst_mask, normals_voxel_size / s)
+        else:
+            normals, n_valid = estimate_normals(
+                dst, dst_mask, k=normals_k, tile=config.nn_dst_tile
+            )
     else:
         normals = dst_normals.astype(dtype)
         n_valid = dst_mask

@@ -99,9 +99,16 @@ def _solve6(jtj, jtr, n_ok):
     x = jnp.linalg.solve(jtj_safe, jtr[..., None])[..., 0]
     finite = jnp.all(jnp.isfinite(x), axis=-1)
     back = jnp.einsum("...kl,...l->...k", jtj_safe, x)
+    # Residual test against the SYSTEM scale (inf-norm of jtr), not
+    # per-component: components of jtr orders of magnitude below the
+    # largest carry LU roundoff from the large entries, so a
+    # per-component relative gate falsely rejects well-conditioned
+    # near-converged solves (jtr -> 0 anisotropically as ICP converges —
+    # observed with voxel normals, where the z/rotation scales differ by
+    # ~1e5 and the warm-started driver froze at its initial transform).
+    scale = jnp.max(jnp.abs(jtr), axis=-1, keepdims=True)
     resid_ok = jnp.all(
-        jnp.abs(back - jtr)
-        <= 1e-3 * jnp.maximum(jnp.abs(jtr), 1e-30) + 1e-20,
+        jnp.abs(back - jtr) <= 1e-3 * jnp.maximum(scale, 1e-30) + 1e-20,
         axis=-1,
     )
     return x, n_ok & finite & resid_ok
