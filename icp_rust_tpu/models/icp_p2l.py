@@ -83,12 +83,19 @@ def icp_point_to_plane(
                 dst, dst_mask, (normals, n_valid)
             )
 
-    # Per-point payload riding the NN carry: matched point, its normal,
-    # and the normal's validity — one fused sweep replaces three 28k-row
-    # take_along_axis gathers (each as costly as the sweep itself on TPU).
-    payload = jnp.concatenate(
-        [dst, normals, n_valid.astype(dtype)[..., None]], axis=-1
-    )
+    # Per-point payload riding the NN carry, replacing three 28k-row
+    # take_along_axis gathers (each as costly as the sweep itself on
+    # TPU).  The residual only sees the matched point q through the
+    # plane offset c = n . q, so the carry is [n (3), c (1)] — 4 lanes
+    # instead of the naive [q, n, valid] 7 (each payload lane adds a
+    # select per 128-chunk to the kernel's hot loop; 7 lanes measured
+    # ~3x the pruned sweep, 4 lanes restore most of it).  Invalidity is
+    # folded into c as an unreachable sentinel (|c| <= |q| <= scene
+    # size after point_scale).
+    _C_INVALID = jnp.asarray(3e19, dtype)
+    c = jnp.sum(dst * normals, axis=-1)
+    c = jnp.where(n_valid & dst_mask, c, _C_INVALID)
+    payload = jnp.concatenate([normals, c[..., None]], axis=-1)
 
     def outer(t):
         src_t = t.apply_points(src)
@@ -97,9 +104,12 @@ def icp_point_to_plane(
             backend=config.nn_backend, tile=config.nn_dst_tile,
             method=config.nn_method, q_tile=config.nn_query_tile,
         )
-        matched = pay[..., 0:3]
-        matched_n = pay[..., 3:6]
-        matched_ok = pay[..., 6] > 0.5
+        matched_n = pay[..., 0:3]
+        c_m = pay[..., 3]
+        matched_ok = jnp.abs(c_m) < 1e18
+        # Plane foot point d = c n satisfies n.(p - d) = n.p - c, the
+        # same residual as against the true matched point.
+        matched = matched_n * jnp.where(matched_ok, c_m, 0.0)[..., None]
         pair_mask = src_mask & matched_ok
         dt = align3d.estimate_transform_p2l(
             src_t, matched, matched_n, pair_mask, config
