@@ -192,15 +192,20 @@ def icp3d_planar(
         xy = t.apply_points(pts[..., :2])
         return jnp.concatenate([xy, pts[..., 2:]], axis=-1)
 
+    # The SE(2) solve consumes only the matched point's xy, so the NN
+    # payload carries 2 lanes, not the full 3D point (each payload lane
+    # adds a select per 128-chunk to the kernel's hot loop).
+    payload_xy = dst[..., :2]
+
     def outer(t):
         src_t = transform_xy(t, src)  # (..., N, 3)
-        _, matched = nearest_neighbor_matched(
-            src_t, dst, dst_mask, backend=config.nn_backend,
-            tile=config.nn_dst_tile, method=config.nn_method,
-            q_tile=config.nn_query_tile,
+        _, matched_xy = nearest_neighbor_matched(
+            src_t, dst, dst_mask, payload=payload_xy,
+            backend=config.nn_backend, tile=config.nn_dst_tile,
+            method=config.nn_method, q_tile=config.nn_query_tile,
         )
         dt = align2d.estimate_transform(
-            src_t[..., :2], matched[..., :2], src_mask, config
+            src_t[..., :2], matched_xy, src_mask, config
         )
         return dt.compose(t), _is_identity(dt)
 
