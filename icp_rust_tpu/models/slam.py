@@ -1,4 +1,4 @@
-"""Full-sequence 2D SLAM: batched odometry + loop closures + pose graph.
+"""Full-sequence SLAM: odometry + loop closures + pose graph (2D and 3D).
 
 Ties the engine's configs together (BASELINE.json configs[2] and [4]):
 
@@ -10,6 +10,10 @@ Ties the engine's configs together (BASELINE.json configs[2] and [4]):
    batched ICP solve and accepted if the post-alignment mean NN distance is
    small.
 3. Pose-graph GN (models.pose_graph) with Cauchy-robust loop edges.
+
+``run_slam3d`` is the SE(3) analogue: point-to-plane odometry
+(models.icp_p2l, voxel-PCA normals), 3D proximity loop closures verified
+the same way, and the dimension-generic pose graph on 6-DoF twists.
 
 No reference counterpart — the reference's examples do scan-to-first-scan
 matching only.
@@ -170,6 +174,139 @@ def run_slam2d(
     )
     e1 = float(pg.graph_error(out))
     return SlamResult(
+        poses=out.poses,
+        odometry_path=odo_path,
+        optimized_path=np.asarray(out.poses.t, dtype=np.float64),
+        n_loop_closures=len(extra_edges),
+        error_before=e0,
+        error_after=e1,
+    )
+
+
+class Slam3Result(NamedTuple):
+    poses: "RigidTransform3"     # optimized absolute poses (P,)
+    odometry_path: np.ndarray    # (P, 3) dead-reckoned positions
+    optimized_path: np.ndarray   # (P, 3) after graph optimization
+    n_loop_closures: int
+    error_before: float
+    error_after: float
+
+
+def run_slam3d(
+    frames,
+    config: ICPConfig = ICPConfig(),
+    loop_radius: float = 1.0,
+    min_gap: int = 8,
+    max_loop_candidates: int = 16,
+    accept_factor: float = 2.0,
+    graph_iters: int = 15,
+    normals_voxel_size: float = 0.3,
+) -> Slam3Result:
+    """SE(3) SLAM: p2l odometry chain + proximity loop closures + graph.
+
+    frames: sequence of (N_i, 3) scans (ragged ok).  Odometry runs
+    consecutive point-to-plane ICP (warm-started with the previous
+    relative motion); loop-closure candidates are pose pairs within
+    ``loop_radius`` with index gap >= ``min_gap``, each verified by a
+    warm-started p2l alignment and accepted when the post-alignment mean
+    NN distance is within ``accept_factor`` x the median consecutive-pair
+    distance; the SE(3) pose graph (models.pose_graph, Cauchy-robust loop
+    edges) fuses both.
+    """
+    import functools
+
+    from icp_rust_tpu.geometry.transform3d import RigidTransform3
+    from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
+
+    pts_np, mask_np = scan_io.pad_points(frames)
+    pts = jnp.asarray(pts_np, config.compute_dtype)
+    mask = jnp.asarray(mask_np)
+    f = pts.shape[0]
+
+    step = jax.jit(functools.partial(
+        icp_point_to_plane, config=config,
+        normals_voxel_size=normals_voxel_size,
+    ))
+
+    # 1. Odometry chain: rel[k] maps frame-k points into frame k+1.
+    rels = []
+    t = RigidTransform3.identity(dtype=config.compute_dtype)
+    for k in range(f - 1):
+        t = step(pts[k], pts[k + 1], mask[k], mask[k + 1], t)
+        rels.append(t)
+    rel = RigidTransform3(
+        jnp.stack([r.rot for r in rels]), jnp.stack([r.t for r in rels])
+    )
+    rel_inv = rel.inverse()
+    rots = [jnp.eye(3, dtype=config.compute_dtype)]
+    ts = [jnp.zeros(3, dtype=config.compute_dtype)]
+    for k in range(f - 1):
+        prev = RigidTransform3(rots[-1], ts[-1])
+        nxt = prev.compose(RigidTransform3(rel_inv.rot[k], rel_inv.t[k]))
+        rots.append(nxt.rot)
+        ts.append(nxt.t)
+    odo_poses = RigidTransform3(jnp.stack(rots), jnp.stack(ts))
+    odo_path = np.asarray(odo_poses.t, dtype=np.float64)
+
+    # Baseline alignment quality for the accept threshold.
+    base_nn = np.asarray(jnp.stack([
+        _mean_nn_dist(pts[k], pts[k + 1], mask[k], mask[k + 1],
+                      RigidTransform3(rel.rot[k], rel.t[k]), config)
+        for k in range(f - 1)
+    ]))
+    accept_thresh = accept_factor * float(np.median(base_nn))
+
+    # 2. Loop-closure candidates from odometry proximity (3D positions).
+    d2 = ((odo_path[:, None, :] - odo_path[None, :, :]) ** 2).sum(-1)
+    ii, jj = np.nonzero(
+        (d2 < loop_radius**2)
+        & (np.abs(np.arange(f)[:, None] - np.arange(f)[None, :]) >= min_gap)
+    )
+    keep = ii < jj
+    cand = sorted(
+        zip(ii[keep].tolist(), jj[keep].tolist()),
+        key=lambda p: d2[p[0], p[1]],
+    )
+    seen_bucket = set()
+    picked = []
+    for i, j in cand:
+        b = (i // max(min_gap // 2, 1), j // max(min_gap // 2, 1))
+        if b in seen_bucket:
+            continue
+        seen_bucket.add(b)
+        picked.append((i, j))
+        if len(picked) >= max_loop_candidates:
+            break
+
+    extra_edges = []
+    for i, j in picked:
+        # Warm start from odometry: t_ij takes frame-i points to frame j.
+        pj = RigidTransform3(odo_poses.rot[j], odo_poses.t[j])
+        pi = RigidTransform3(odo_poses.rot[i], odo_poses.t[i])
+        init = pj.inverse().compose(pi)
+        t_ij = step(pts[i], pts[j], mask[i], mask[j], init)
+        nn_after = float(_mean_nn_dist(
+            pts[i], pts[j], mask[i], mask[j], t_ij, config
+        ))
+        if nn_after <= accept_thresh:
+            # z_ij in the graph's T_i^-1 T_j convention = t_ij^-1.
+            z = t_ij.inverse()
+            extra_edges.append(
+                (i, j, z.astype(jnp.float64), 10.0 * np.eye(6))
+            )
+
+    # 3. SE(3) pose graph.
+    chain = RigidTransform3(
+        rel_inv.rot.astype(jnp.float64), rel_inv.t.astype(jnp.float64)
+    )
+    graph = pg.odometry_chain_graph(chain, extra_edges=extra_edges)
+    e0 = float(pg.graph_error(graph))
+    out = pg.optimize(
+        graph, iters=graph_iters, solve="dense", huber_k=1.345,
+        kernel="cauchy",
+    )
+    e1 = float(pg.graph_error(out))
+    return Slam3Result(
         poses=out.poses,
         odometry_path=odo_path,
         optimized_path=np.asarray(out.poses.t, dtype=np.float64),
