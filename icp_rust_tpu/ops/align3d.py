@@ -64,10 +64,19 @@ def weighted_gn_update_p2l(
     normals: Array,
     mask: Array,
     huber_k: float,
+    axis_name: str | None = None,
 ) -> GNUpdate6:
     maskf = mask.astype(src.dtype)
     r = plane_residuals(transform, src, dst, normals)  # (..., N)
-    sigma, stats_valid = robust.masked_stddev(r, mask)  # (...,), (...,)
+    if axis_name:
+        # Robust sigma is a global order statistic: gather the scalar
+        # residuals across the point-sharded axis so every device
+        # computes the identical MAD (same pattern as align2d's 2D path).
+        r_all = jax.lax.all_gather(r, axis_name, axis=-1, tiled=True)
+        mask_all = jax.lax.all_gather(mask, axis_name, axis=-1, tiled=True)
+        sigma, stats_valid = robust.masked_stddev(r_all, mask_all)
+    else:
+        sigma, stats_valid = robust.masked_stddev(r, mask)  # (...,), (...,)
     dim_ok = sigma != 0.0
     g = jnp.where(dim_ok, 1.0 / jnp.where(dim_ok, sigma, 1.0), 0.0)
     w = huber.drho(r * r, huber_k)  # (..., N)
@@ -78,12 +87,18 @@ def weighted_gn_update_p2l(
     j = jnp.concatenate([normals, j_rot], axis=-1)  # (..., N, 6)
     jtr = jnp.einsum("...n,...nk,...n->...k", u, j, r)
     jtj = jnp.einsum("...n,...nk,...nl->...kl", u, j, j)
+    err = jnp.sum(huber.rho(r * r, huber_k) * maskf, axis=-1)
+    n_valid = jnp.sum(mask, axis=-1)
+    if axis_name:
+        jtr = jax.lax.psum(jtr, axis_name)
+        jtj = jax.lax.psum(jtj, axis_name)
+        err = jax.lax.psum(err, axis_name)
+        n_valid = jax.lax.psum(n_valid, axis_name)
 
-    n_ok = jnp.sum(mask, axis=-1) >= 6
+    n_ok = n_valid >= 6
     x, solve_ok = _solve6(jtj, jtr, n_ok)
     ok = solve_ok & stats_valid & dim_ok
     delta = jnp.where(ok[..., None], -x, jnp.zeros_like(x))
-    err = jnp.sum(huber.rho(r * r, huber_k) * maskf, axis=-1)
     return GNUpdate6(delta, ok, err)
 
 
@@ -149,9 +164,12 @@ def estimate_transform_p2l(
     normals: Array,
     mask: Array,
     config: ICPConfig,
+    axis_name: str | None = None,
 ) -> RigidTransform3:
     """Inner IRLS loop, fixed correspondences; reference loop structure
-    (src/lib.rs:59-84) on SE(3)."""
+    (src/lib.rs:59-84) on SE(3).  With ``axis_name`` the point axis is
+    sharded: sigma all_gathers, the normal equations psum, and the
+    replicated solve keeps every shard's loop in lockstep."""
     dtype = src.dtype
     batch = src.shape[:-2]
     huber_k = config.huber_k / config.point_scale
@@ -166,6 +184,7 @@ def estimate_transform_p2l(
 
     use_pallas = (
         config.align_backend == "pallas"
+        and axis_name is None
         and src.ndim == 2
         and src.shape[-2] % 128 == 0
         and src.dtype == jnp.float32
@@ -192,7 +211,7 @@ def estimate_transform_p2l(
             )
         else:
             upd = weighted_gn_update_p2l(t, src, dst, normals, mask,
-                                         huber_k)
+                                         huber_k, axis_name)
         d2 = jnp.sum(upd.delta * upd.delta, axis=-1)
         # Physical-units threshold: translation components rescale.
         s2 = config.point_scale**2

@@ -108,10 +108,16 @@ def ring_nearest_neighbor_matched(
     axis_name: str,
     tile: int = 2048,
     backend: str = "auto",
+    payload: Array | None = None,
 ):
-    """Ring 1-NN that also carries the MATCHED POINT through the ring.
+    """Ring 1-NN that also carries the winner's PAYLOAD through the ring.
 
-    Returns (NNResult, matched (Q, D)).  The winner's coordinates fold
+    ``payload`` (M_local, P) is an arbitrary per-db-point feature row
+    (default: the db point itself); it rides the ppermute carry exactly
+    like the coordinates, so e.g. the p2l driver's [normal, plane-offset]
+    rows never need the unsharded destination.
+
+    Returns (NNResult, matched (Q, P)).  The winner's coordinates fold
     into the carry alongside (distance, index), so callers never need the
     unsharded destination cloud — the all_gather + global take_along_axis
     that ring_nearest_neighbor callers otherwise do (which re-replicates
@@ -129,20 +135,29 @@ def ring_nearest_neighbor_matched(
     m_local = db_shard.shape[-2]
     perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
 
+    # With an explicit payload the feature rows ride the ring alongside
+    # the coordinates; with the default (db points) the coordinates ARE
+    # the payload, so nothing extra is permuted.
+    has_payload = payload is not None
+    p_dim = payload.shape[-1] if has_payload else db_shard.shape[-1]
+    p_dtype = payload.dtype if has_payload else query.dtype
+
     best_d = jnp.full(query.shape[:-1], jnp.inf, dtype=query.dtype)
     best_i = jnp.zeros(query.shape[:-1], dtype=jnp.int32)
-    best_p = jnp.zeros(query.shape, dtype=query.dtype)
+    best_p = jnp.zeros((*query.shape[:-1], p_dim), dtype=p_dtype)
 
-    def fold(best_d, best_i, best_p, db, dbm, owner):
+    def fold(best_d, best_i, best_p, db, dbm, pay, owner):
         if backend == "pallas":
             from icp_rust_tpu.ops import nn_pallas
 
             res, matched = nn_pallas.nn_pallas_matched(
-                query, db, dbm, db_tile=tile
+                query, db, dbm, payload=pay, db_tile=tile
             )
         else:
             res = nn_xla(query, db, dbm, tile=tile)
-            matched = jnp.take_along_axis(db, res.index[..., None], axis=-2)
+            matched = jnp.take_along_axis(
+                db if pay is None else pay, res.index[..., None], axis=-2
+            )
         gidx = res.index + owner * m_local
         better = (res.dist_sq < best_d) | (
             (res.dist_sq == best_d) & (gidx < best_i)
@@ -154,18 +169,31 @@ def ring_nearest_neighbor_matched(
         )
 
     def step(i, carry):
-        best_d, best_i, best_p, db, dbm = carry
+        if has_payload:
+            best_d, best_i, best_p, db, dbm, pay = carry
+        else:
+            best_d, best_i, best_p, db, dbm = carry
+            pay = None
         owner = (my - i) % n_dev
         best_d, best_i, best_p = fold(best_d, best_i, best_p, db, dbm,
-                                      owner)
+                                      pay, owner)
         db = lax.ppermute(db, axis_name, perm)
         dbm = lax.ppermute(dbm, axis_name, perm)
+        if has_payload:
+            pay = lax.ppermute(pay, axis_name, perm)
+            return (best_d, best_i, best_p, db, dbm, pay)
         return (best_d, best_i, best_p, db, dbm)
 
-    best_d, best_i, best_p, db, dbm = lax.fori_loop(
-        0, n_dev - 1, step,
-        (best_d, best_i, best_p, db_shard, db_shard_mask),
-    )
+    init = (best_d, best_i, best_p, db_shard, db_shard_mask)
+    if has_payload:
+        init = init + (payload,)
+    out = lax.fori_loop(0, n_dev - 1, step, init)
+    if has_payload:
+        best_d, best_i, best_p, db, dbm, pay = out
+    else:
+        best_d, best_i, best_p, db, dbm = out
+        pay = None
     owner = (my - (n_dev - 1)) % n_dev
-    best_d, best_i, best_p = fold(best_d, best_i, best_p, db, dbm, owner)
+    best_d, best_i, best_p = fold(best_d, best_i, best_p, db, dbm, pay,
+                                  owner)
     return NNResult(index=best_i, dist_sq=best_d), best_p

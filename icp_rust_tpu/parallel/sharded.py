@@ -195,3 +195,134 @@ def batched_icp2d(
     shard = NamedSharding(mesh, P(pair_axis))
     jitted = jax.jit(fn, in_shardings=shard, out_shardings=shard)
     return jitted(src, dst, src_mask, dst_mask, initial_transform)
+
+
+def dp_sp_icp3d_planar(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    initial_transform: RigidTransform2,
+    config: ICPConfig,
+    mesh: Mesh,
+    pair_axis: str = "dp",
+    point_axis: str = "sp",
+) -> RigidTransform2:
+    """The HEADLINE workload (reference src/lib.rs:133-174: 3D match /
+    SE(2)-on-xy solve) over a 2D mesh: pairs data-parallel over
+    ``pair_axis``, each pair's clouds point-sharded over ``point_axis``.
+    src/dst: (B, N, 3).  The ring carries only the matched point's xy
+    (the solve never reads z), the GN reduction psums."""
+    s = config.point_scale
+    dtype = config.compute_dtype
+
+    def local(src_l, dst_l, smask_l, dmask_l, t0: RigidTransform2):
+        src_s = src_l.astype(dtype) / s
+        dst_s = dst_l.astype(dtype) / s
+        t0s = RigidTransform2(t0.rot.astype(dtype), t0.t.astype(dtype) / s)
+
+        def transform_xy(t, pts):
+            xy = t.apply_points(pts[..., :2])
+            return jnp.concatenate([xy, pts[..., 2:]], axis=-1)
+
+        def outer(t):
+            src_t = transform_xy(t, src_s)
+            _, matched_xy = ring_nearest_neighbor_matched(
+                src_t, dst_s, dmask_l, point_axis,
+                tile=config.nn_dst_tile, payload=dst_s[..., :2],
+            )
+            dt = align2d.estimate_transform(
+                src_t[..., :2], matched_xy, smask_l, config,
+                axis_name=point_axis,
+            )
+            return dt.compose(t), _is_identity(dt)
+
+        t = _outer_fixed_point(outer, t0s, config.outer_iters)
+        return RigidTransform2(t.rot, t.t * s)
+
+    pt = P(pair_axis, point_axis)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pt, pt, pt, pt, P(pair_axis)),
+        out_specs=P(pair_axis),
+        check_vma=False,
+    )
+    return fn(src, dst, src_mask, dst_mask, initial_transform)
+
+
+def dp_sp_icp_p2l(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    initial_transform,
+    config: ICPConfig,
+    mesh: Mesh,
+    pair_axis: str = "dp",
+    point_axis: str = "sp",
+    normals_voxel_size: float = 0.3,
+):
+    """SE(3) point-to-plane ICP over a 2D mesh (models.icp_p2l sharded).
+
+    Normals are voxel-PCA per DESTINATION SHARD (each shard's voxel grid
+    is anchored at its local minimum, so voxels straddling a shard
+    boundary see only their side's points — a boundary-local stat
+    approximation; interior voxels match the single-device result).  The
+    ring payload is the 4-lane [normal, plane-offset] row of
+    models/icp_p2l.py; the 6x6 GN reduction psums and sigma all_gathers
+    (ops/align3d.py axis_name path).
+    """
+    from icp_rust_tpu.geometry.transform3d import RigidTransform3
+    from icp_rust_tpu.ops import align3d
+    from icp_rust_tpu.ops.normals import estimate_normals_voxel
+
+    s = config.point_scale
+    dtype = config.compute_dtype
+
+    def local(src_l, dst_l, smask_l, dmask_l, rot0, t0):
+        src_s = src_l.astype(dtype) / s
+        dst_s = dst_l.astype(dtype) / s
+        t0s = RigidTransform3(rot0.astype(dtype), t0.astype(dtype) / s)
+
+        fn_n = estimate_normals_voxel
+        for _ in range(dst_s.ndim - 2):  # local pair axis -> vmap
+            fn_n = jax.vmap(fn_n, in_axes=(0, 0, None))
+        normals, n_valid = fn_n(dst_s, dmask_l, normals_voxel_size / s)
+        c = jnp.sum(dst_s * normals, axis=-1)
+        c = jnp.where(n_valid & dmask_l, c, jnp.asarray(3e19, dtype))
+        payload = jnp.concatenate([normals, c[..., None]], axis=-1)
+
+        def outer(t):
+            src_t = t.apply_points(src_s)
+            _, pay = ring_nearest_neighbor_matched(
+                src_t, dst_s, dmask_l, point_axis,
+                tile=config.nn_dst_tile, payload=payload,
+            )
+            matched_n = pay[..., 0:3]
+            c_m = pay[..., 3]
+            matched_ok = jnp.abs(c_m) < 1e18
+            matched = matched_n * jnp.where(matched_ok, c_m, 0.0)[..., None]
+            pair_mask = smask_l & matched_ok
+            dt = align3d.estimate_transform_p2l(
+                src_t, matched, matched_n, pair_mask, config,
+                axis_name=point_axis,
+            )
+            return dt.compose(t), _is_identity(dt)
+
+        t = _outer_fixed_point(outer, t0s, config.outer_iters)
+        return t.rot, t.t * s
+
+    pt = P(pair_axis, point_axis)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pt, pt, pt, pt, P(pair_axis), P(pair_axis)),
+        out_specs=(P(pair_axis), P(pair_axis)),
+        check_vma=False,
+    )
+    rot, t = fn(
+        src, dst, src_mask, dst_mask,
+        initial_transform.rot, initial_transform.t,
+    )
+    return RigidTransform3(rot, t)
