@@ -75,24 +75,33 @@ def cmd_odometry2d(args):
         if args.checkpoint
         else None
     )
-    log.start_frame()
+    import time as _time
+
+    t0 = _time.perf_counter()
     if args.submap:
+        log.start_frame()
         _, path = run_submap_odometry(
             pts, mask, cfg, voxel_size=args.voxel_size,
             capacity=args.map_capacity,
         )
+        log.end_frame(len(frames) - 1)
     else:
-        _, path = run_odometry_device(pts, mask, cfg)
-    log.end_frame(len(frames) - 1)
-    if ckpt:
-        ckpt.maybe_save(len(frames) - 1, {"path": path}) or ckpt.maybe_save(
-            0, {"path": path}
+        # Per-frame loop: JSONL metrics rows (device stats when --metrics
+        # is set) and mid-run checkpoints every --every frames; --resume
+        # seeks past the last saved cursor and reproduces the remaining
+        # trajectory bitwise.
+        _, path = run_odometry_device(
+            pts, mask, cfg,
+            metrics=log if args.metrics else None,
+            checkpoint=ckpt,
+            resume=args.resume,
         )
+    seconds = _time.perf_counter() - t0
 
     summary = {
         "frames": len(frames) - 1,
-        "seconds": log.records[-1].seconds,
-        "frames_per_s": (len(frames) - 1) / log.records[-1].seconds,
+        "seconds": seconds,
+        "frames_per_s": (len(frames) - 1) / seconds,
         "path_end": path[-1].tolist(),
     }
     if args.compare_oracle:
@@ -180,6 +189,8 @@ def main(argv=None):
     p2.add_argument("--compare-oracle", action="store_true")
     p2.add_argument("--checkpoint", default=None)
     p2.add_argument("--every", type=int, default=10)
+    p2.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint's last saved cursor")
     p2.add_argument("--submap", action="store_true")
     p2.add_argument("--voxel-size", type=float, default=30.0)
     p2.add_argument("--map-capacity", type=int, default=8192)

@@ -25,6 +25,8 @@ mm-scale data (config.py).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -120,10 +122,52 @@ def _outer_fixed_point(step, t0, max_iters: int):
         t_next, fixed = step(t)
         return (t_next, it + 1, fixed)
 
-    t, _, _ = jax.lax.while_loop(
+    t, it, _ = jax.lax.while_loop(
         cond, body, (t0, 0, jnp.zeros(t0.t.shape[:-1], bool))
     )
-    return t
+    return t, it
+
+
+class ICPStats(NamedTuple):
+    """Per-call observability (SURVEY.md §5), computed with ONE extra NN
+    pass at the final transform when requested (``return_stats=True``).
+
+    Units: ``mean_nn_dist`` is in PHYSICAL units (point_scale undone);
+    ``huber_error`` is the robust objective in solver (scaled) units, the
+    quantity the reference's inner loop monitors (src/lib.rs:75-79)."""
+
+    outer_iters: Array       # (...,) int32 (shared across batch lanes:
+                             # the while_loop exits when ALL lanes fix)
+    huber_error: Array       # (...,)
+    mean_nn_dist: Array      # (...,)
+    inlier_fraction: Array   # (...,) fraction of pairs with IRLS weight 1
+
+
+def _stats_2d(src_t, matched, mask, config, dist_sq, it):
+    """Final-transform metrics from the last correspondence set."""
+    from icp_rust_tpu.ops import huber, robust
+
+    s = config.point_scale
+    maskf = mask.astype(src_t.dtype)
+    nf = jnp.maximum(jnp.sum(maskf, axis=-1), 1.0)
+    r = src_t[..., :2] - matched[..., :2]
+    sigma, _ = robust.calc_stddevs(r, mask)
+    k = config.huber_k / s
+    err = jnp.sum(
+        huber.rho(jnp.sum(r * r, axis=-1), k) * maskf, axis=-1
+    )
+    inl = jnp.all(
+        jnp.abs(r) <= k * jnp.maximum(sigma, 0.0)[..., None, :], axis=-1
+    )
+    mean_nn = jnp.sum(
+        jnp.sqrt(jnp.maximum(dist_sq, 0.0)) * maskf, axis=-1
+    ) / nf * s
+    return ICPStats(
+        outer_iters=jnp.broadcast_to(it, err.shape).astype(jnp.int32),
+        huber_error=err,
+        mean_nn_dist=mean_nn,
+        inlier_fraction=jnp.sum(inl * maskf, axis=-1) / nf,
+    )
 
 
 def icp2d(
@@ -133,10 +177,12 @@ def icp2d(
     dst_mask: Array,
     initial_transform: RigidTransform2,
     config: ICPConfig = ICPConfig(),
-) -> RigidTransform2:
+    return_stats: bool = False,
+):
     """2D scan-to-scan ICP. src/dst: (..., N|M, 2); masks over the point axes.
 
     Parity: reference Icp2d::estimate (src/lib.rs:105-130).
+    With ``return_stats`` returns (transform, ICPStats).
     """
     s = config.point_scale
     src = _scaled(src.astype(config.compute_dtype), config)
@@ -160,7 +206,17 @@ def icp2d(
         dt = align2d.estimate_transform(src_t, matched, src_mask, config)
         return dt.compose(t), _is_identity(dt)
 
-    t = _outer_fixed_point(outer, t0, config.outer_iters)
+    t, it = _outer_fixed_point(outer, t0, config.outer_iters)
+    if return_stats:
+        src_t = t.apply_points(src)
+        res, matched = nearest_neighbor_matched(
+            src_t, dst, dst_mask, backend=config.nn_backend,
+            tile=config.nn_dst_tile, method=config.nn_method,
+            q_tile=config.nn_query_tile,
+        )
+        stats = _stats_2d(src_t, matched, src_mask, config, res.dist_sq,
+                          it)
+        return _unscale_transform(t, s), stats
     return _unscale_transform(t, s)
 
 
@@ -171,7 +227,8 @@ def icp3d_planar(
     dst_mask: Array,
     initial_transform: RigidTransform2,
     config: ICPConfig = ICPConfig(),
-) -> RigidTransform2:
+    return_stats: bool = False,
+):
     """3D matching, SE(2)-on-xy optimization (vehicle on the xy-plane).
 
     src/dst: (..., N|M, 3).  Parity: reference Icp3d::estimate
@@ -209,5 +266,15 @@ def icp3d_planar(
         )
         return dt.compose(t), _is_identity(dt)
 
-    t = _outer_fixed_point(outer, t0, config.outer_iters)
+    t, it = _outer_fixed_point(outer, t0, config.outer_iters)
+    if return_stats:
+        src_t = transform_xy(t, src)
+        res, matched_xy = nearest_neighbor_matched(
+            src_t, dst, dst_mask, payload=payload_xy,
+            backend=config.nn_backend, tile=config.nn_dst_tile,
+            method=config.nn_method, q_tile=config.nn_query_tile,
+        )
+        stats = _stats_2d(src_t, matched_xy, src_mask, config,
+                          res.dist_sq, it)
+        return _unscale_transform(t, s), stats
     return _unscale_transform(t, s)

@@ -117,5 +117,5 @@ def icp_point_to_plane(
         return dt.compose(t), _is_identity(dt)
 
     # Exact fixed-point early exit, shared with the 2D drivers.
-    t = _outer_fixed_point(outer, t0, config.outer_iters)
+    t, _ = _outer_fixed_point(outer, t0, config.outer_iters)
     return RigidTransform3(t.rot, t.t * s)

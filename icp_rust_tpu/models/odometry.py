@@ -61,12 +61,17 @@ def run_odometry(
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _odometry_step(src, dst, src_mask, dst_mask, t, config: ICPConfig):
+@functools.partial(jax.jit, static_argnames=("config", "with_stats"))
+def _odometry_step(src, dst, src_mask, dst_mask, t, config: ICPConfig,
+                   with_stats: bool = False):
     """Single warm-started frame alignment + trajectory point (module-level
     so the jit cache persists across calls; a per-call closure would
     recompile every time, which is catastrophic with remote compilation)."""
     driver = icp2d if src.shape[-1] == 2 else icp3d_planar
+    if with_stats:
+        t, stats = driver(src, dst, src_mask, dst_mask, t, config,
+                          return_stats=True)
+        return t, t.inverse().t, stats
     t = driver(src, dst, src_mask, dst_mask, t, config)
     return t, t.inverse().t
 
@@ -75,6 +80,9 @@ def run_odometry_device(
     frames: np.ndarray,
     masks: np.ndarray,
     config: ICPConfig = ICPConfig(),
+    metrics=None,
+    checkpoint=None,
+    resume: bool = False,
 ):
     """Device-resident sequence odometry: all frames are uploaded once and
     every per-frame step runs from device-resident arrays, so no
@@ -90,32 +98,80 @@ def run_odometry_device(
 
     frames: (F, N, D) padded; masks: (F, N).  Frame 0 is the fixed src;
     returns (transforms list, path (F-1, 2) numpy).
+
+    ``metrics``: a utils.metrics.MetricsLogger — per-frame wall time plus
+    device stats (outer iterations, final Huber error, mean NN distance,
+    inlier fraction) go into one JSONL row per frame.
+    ``checkpoint``: a utils.checkpoint.SequenceCheckpointer — every K
+    frames the cursor + current transform + trajectory-so-far are saved
+    atomically; ``resume=True`` seeks past the checkpointed cursor and
+    reproduces the remaining trajectory bitwise (the engine is
+    deterministic given (src, t) state).
     """
     pts = jnp.asarray(frames, config.compute_dtype)
     msk = jnp.asarray(masks)
     src, src_mask = pts[0], msk[0]
     t = RigidTransform2.identity(dtype=config.compute_dtype)
     transforms, path = [], []
-    for i in range(1, pts.shape[0]):
-        t, pos = _odometry_step(src, pts[i], src_mask, msk[i], t, config)
+    start = 1
+    if resume and checkpoint is not None:
+        state = checkpoint.restore()
+        if state is not None:
+            start = int(state["frame_cursor"]) + 1
+            t = RigidTransform2(
+                jnp.asarray(state["t_rot"], config.compute_dtype),
+                jnp.asarray(state["t_t"], config.compute_dtype),
+            )
+            for row in state["path"]:
+                path.append(jnp.asarray(row))
+    with_stats = metrics is not None
+    for i in range(start, pts.shape[0]):
+        if metrics is not None:
+            metrics.start_frame()
+        out = _odometry_step(src, pts[i], src_mask, msk[i], t, config,
+                             with_stats)
+        if with_stats:
+            t, pos, stats = out
+            metrics.end_frame(
+                i,
+                huber_error=float(stats.huber_error),
+                mean_nn_dist=float(stats.mean_nn_dist),
+                inlier_fraction=float(stats.inlier_fraction),
+                extra={"outer_iters": int(stats.outer_iters)},
+            )
+        else:
+            t, pos = out
         transforms.append(t)
         path.append(pos)
+        if checkpoint is not None:
+            checkpoint.maybe_save(i, {
+                "t_rot": t.rot, "t_t": t.t,
+                "path": jnp.stack(path),
+            })
     path = np.asarray(jnp.stack(path))
     return transforms, path
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _odometry_scan(pts, msk, config: ICPConfig):
+@functools.partial(jax.jit, static_argnames=("config", "with_stats"))
+def _odometry_scan(pts, msk, config: ICPConfig, with_stats: bool = False):
     driver = icp2d if pts.shape[-1] == 2 else icp3d_planar
     src, src_mask = pts[0], msk[0]
     t0 = RigidTransform2.identity(dtype=pts.dtype)
 
     def step(t, frame):
         dst, dst_mask = frame
+        if with_stats:
+            t, stats = driver(src, dst, src_mask, dst_mask, t, config,
+                              return_stats=True)
+            return t, (t.rot, t.t, t.inverse().t, stats)
         t = driver(src, dst, src_mask, dst_mask, t, config)
         return t, (t.rot, t.t, t.inverse().t)
 
-    _, (rots, ts, path) = jax.lax.scan(step, t0, (pts[1:], msk[1:]))
+    _, out = jax.lax.scan(step, t0, (pts[1:], msk[1:]))
+    if with_stats:
+        rots, ts, path, stats = out
+        return rots, ts, path, stats
+    rots, ts, path = out
     return rots, ts, path
 
 
@@ -123,6 +179,7 @@ def run_odometry_fused(
     frames: np.ndarray,
     masks: np.ndarray,
     config: ICPConfig = ICPConfig(),
+    with_metrics: bool = False,
 ):
     """Whole-sequence odometry as ONE compiled program (lax.scan over the
     frame axis) — a single device dispatch for the full trajectory.
@@ -137,9 +194,17 @@ def run_odometry_fused(
     ``transforms`` is ONE batched RigidTransform2 with a leading (F-1,)
     frame axis (index it lazily: transforms.rot[i] / transforms.t[i]),
     ``path`` a (F-1, 2) numpy trajectory.
+
+    With ``with_metrics`` the scan additionally emits per-frame device
+    stats (outer iterations, final Huber error, mean NN distance, inlier
+    fraction — models.icp2d.ICPStats arrays with a leading frame axis)
+    and the return becomes (transforms, path, stats).
     """
     pts = jnp.asarray(frames, config.compute_dtype)
     msk = jnp.asarray(masks)
+    if with_metrics:
+        rots, ts, path, stats = _odometry_scan(pts, msk, config, True)
+        return RigidTransform2(rots, ts), np.asarray(path), stats
     rots, ts, path = _odometry_scan(pts, msk, config)
     path = np.asarray(path)
     # One BATCHED transform (leading frame axis), not a per-frame list:

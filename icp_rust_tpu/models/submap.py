@@ -2,15 +2,27 @@
 
 No reference counterpart — the reference matches scan-to-first-scan
 forever (examples/scan2d.rs:65-88), which drifts once overlap with frame 1
-shrinks.  Here each incoming scan is aligned against a rolling,
-voxel-downsampled local map held in the odometry frame; the aligned scan's
-points are then merged into the map and the union is re-voxelized back to
-fixed capacity.  Everything is fixed-shape and jitted once; the map lives
-on device across frames.
+shrinks.  Here each incoming scan is aligned against a rolling local map
+held in the odometry frame; the aligned scan's points are then merged into
+the map.
+
+Two map representations:
+
+- **Fused (default)**: a persistent voxel HASH map (ops/voxel_hash.py) —
+  pure gather/scatter updates, no argsort — so the WHOLE sequence runs as
+  one ``lax.scan`` program: a single device dispatch instead of one per
+  frame (~27 ms of tunnel latency each on the remote TPU).  The map's
+  slot order is hash-random, so the ICP inside the scan body runs the
+  plain (unsorted, unpruned) NN sweep; the dispatch savings dominate.
+- **Re-voxelize** (``fused=False``): the original per-frame loop that
+  re-voxelizes map+scan with the sort-based ``ops.voxel`` pass — kept as
+  the semantics reference (its centroids are unit-weight per merge
+  generation rather than running means).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Tuple
 
@@ -22,6 +34,7 @@ from jax import Array
 from icp_rust_tpu.config import ICPConfig
 from icp_rust_tpu.geometry.transform2d import RigidTransform2
 from icp_rust_tpu.models.icp2d import icp2d, icp3d_planar
+from icp_rust_tpu.ops import voxel_hash as vh
 from icp_rust_tpu.ops.voxel import voxel_downsample
 
 
@@ -38,7 +51,7 @@ def submap_step(
     voxel_size: float,
     capacity: int,
 ):
-    """Align one scan to the map, then merge it in.
+    """Align one scan to the map, then merge it in (re-voxelize path).
 
     Returns (t_new, map_pts', map_mask').  The transform maps scan (sensor
     frame) -> odometry/map frame; note this is the INVERSE convention of
@@ -47,21 +60,19 @@ def submap_step(
     """
     dim = scan.shape[-1]
     driver = icp2d if dim == 2 else icp3d_planar
-    # ICP estimates map->scan? We align scan points INTO the map: treat the
-    # scan as src and the map as dst; the estimated transform takes scan
-    # points to their map positions.
     t = driver(scan, map_pts, scan_mask, map_mask, t_prev, config)
-    if dim == 2:
-        scan_in_map = t.apply_points(scan.astype(map_pts.dtype))
-    else:
-        xy = t.apply_points(scan[..., :2].astype(map_pts.dtype))
-        scan_in_map = jnp.concatenate(
-            [xy, scan[..., 2:].astype(map_pts.dtype)], axis=-1
-        )
+    scan_in_map = _apply_planar(t, scan, map_pts.dtype)
     merged = jnp.concatenate([map_pts, scan_in_map], axis=0)
     merged_mask = jnp.concatenate([map_mask, scan_mask], axis=0)
     vox = voxel_downsample(merged, merged_mask, voxel_size, capacity)
     return t, vox.points, vox.mask, vox.n_cells
+
+
+def _apply_planar(t: RigidTransform2, scan: Array, dtype) -> Array:
+    if scan.shape[-1] == 2:
+        return t.apply_points(scan.astype(dtype))
+    xy = t.apply_points(scan[..., :2].astype(dtype))
+    return jnp.concatenate([xy, scan[..., 2:].astype(dtype)], axis=-1)
 
 
 def run_submap_odometry(
@@ -70,14 +81,19 @@ def run_submap_odometry(
     config: ICPConfig = ICPConfig(),
     voxel_size: float = 0.05,
     capacity: int = 16384,
+    fused: bool = True,
+    probes: int = 8,
 ) -> Tuple[List[RigidTransform2], np.ndarray]:
     """frames: (F, N, D) padded; masks: (F, N).  Frame 0 seeds the map.
-    Returns (transforms scan->map per frame, trajectory (F-1, D2) of sensor
-    positions in the map frame)."""
-    # NOTE: do NOT fuse this loop into a lax.scan over frames — measured
-    # 40x SLOWER on TPU (0.45 vs 18.9 frames/s): the voxel argsort +
-    # scatter-add inside a scan body lowers catastrophically, unlike the
-    # pure-ICP odometry scan (models/odometry.py), which fuses fine.
+    Returns (transforms scan->map per frame, trajectory (F-1, 2) of sensor
+    positions in the map frame).
+
+    ``fused=True`` (default) requires power-of-two ``capacity`` and runs
+    the whole sequence as one compiled scan over the persistent hash map.
+    """
+    if fused:
+        return _run_fused(frames, masks, config, voxel_size, capacity,
+                          probes)
     dtype = config.compute_dtype
     pts = jnp.asarray(frames, dtype)
     msk = jnp.asarray(masks)
@@ -105,3 +121,79 @@ def run_submap_odometry(
             stacklevel=2,
         )
     return transforms, np.asarray(jnp.stack(path))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "voxel_size", "capacity", "probes")
+)
+def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
+                capacity: int, probes: int):
+    """Module-level jit (NOT a per-call closure: retracing+relowering this
+    program costs ~9 s per call — it dwarfed the device time until the
+    cache was made shared)."""
+    dtype = config.compute_dtype
+    dim = pts.shape[-1]
+    driver = icp2d if dim == 2 else icp3d_planar
+    origin = vh.origin_for(pts[0], msk[0], voxel_size)
+    m = vh.make_map(capacity, dim, origin, dtype)
+    m, d0 = vh.insert(m, pts[0], msk[0], voxel_size, probes)
+    t0 = RigidTransform2.identity(dtype=dtype)
+
+    def step(carry, fm):
+        t, m = carry
+        scan, smask = fm
+        # Queries in azimuth order (sensor frame) to match the map sort
+        # below; permutes the point axis only (f32 reduction order).
+        qaz = jnp.arctan2(scan[:, 1], scan[:, 0])
+        qorder = jnp.argsort(jnp.where(smask, qaz, jnp.inf))
+        scan = scan[qorder]
+        smask = smask[qorder]
+        map_pts, map_mask = vh.centroids(m)
+        # Sort the map view by AZIMUTH AROUND THE SENSOR once per frame:
+        # hash-random slot order defeats the NN kernel's bbox tile
+        # pruning, and real scans arrive azimuth-ordered, so this aligns
+        # the map layout with the query layout — the kernel's
+        # diagonal-first visit order then finds each query tile's match
+        # immediately and prunes the rest.  (Empty slots sort to the end
+        # via +inf.)
+        az = jnp.arctan2(map_pts[:, 1] - t.t[1], map_pts[:, 0] - t.t[0])
+        order = jnp.argsort(jnp.where(map_mask, az, jnp.inf))
+        map_pts = map_pts[order]
+        map_mask = map_mask[order]
+        t = driver(scan, map_pts, smask, map_mask, t, config)
+        scan_in_map = _apply_planar(t, scan, dtype)
+        m, d = vh.insert(m, scan_in_map, smask, voxel_size, probes)
+        return (t, m), (t.rot, t.t, d)
+
+    (_, m), (rots, ts, drops) = jax.lax.scan(
+        step, (t0, m), (pts[1:], msk[1:])
+    )
+    return rots, ts, jnp.concatenate([d0[None], drops])
+
+
+def _run_fused(frames, masks, config, voxel_size, capacity, probes):
+    dtype = config.compute_dtype
+    pts = jnp.asarray(frames, dtype)
+    msk = jnp.asarray(masks)
+    # No azimuth sort inside the scan body: the hash map's slot order is
+    # random anyway (bbox pruning cannot bite) — take the plain sweep.
+    cfg = dataclasses.replace(config, nn_sort="none")
+    rots, ts, drops = _fused_scan(pts, msk, cfg, float(voxel_size),
+                                  int(capacity), int(probes))
+    rots_np, ts_np = np.asarray(rots), np.asarray(ts)
+    n_dropped = int(np.asarray(drops).sum())
+    if n_dropped:
+        import warnings
+
+        warnings.warn(
+            f"submap hash map dropped {n_dropped} points across the "
+            f"sequence (probe exhaustion) — grow `capacity` (power of "
+            f"two) or the voxel size",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    transforms = [
+        RigidTransform2(jnp.asarray(rots_np[i]), jnp.asarray(ts_np[i]))
+        for i in range(len(ts_np))
+    ]
+    return transforms, ts_np.astype(np.float64)

@@ -1,0 +1,125 @@
+"""Persistent voxel hash map: sort-free scatter updates for fused loops.
+
+The original submap update (ops/voxel.py) re-voxelizes map+scan with an
+argsort + segment-sum each frame; that op inside a ``lax.scan`` body was
+measured 40x slower on TPU (docs/DESIGN.md anti-result), which forced a
+per-frame dispatch loop costing ~27 ms of tunnel latency per frame.  This
+module replaces it with an open-addressing hash table updated by pure
+gather/scatter ops (no sort anywhere), so the whole submap sequence fuses
+into ONE compiled scan.
+
+Design (TPU-native):
+- Fixed-capacity table (power of two): per slot a cell key (int32,
+  EMPTY = int32 max), a point-sum (D,) and a count.
+- Cells are keyed on a FIXED world-anchored 1024^D grid (the origin is
+  chosen once, e.g. from frame 0), so ids are stable across frames —
+  unlike per-call min-anchored grids, insertion is incremental.
+- Insertion resolves collisions with double hashing: each probe round is
+  gather(current keys) -> scatter-min claim of empty slots -> gather
+  (who won) -> masked scatter-add of the winners.  A fixed number of
+  rounds keeps the program static; points that exhaust their probes are
+  counted in ``dropped`` (callers size capacity >= 2x expected cells;
+  at load factor a the chance a NEW cell exhausts p probes is ~a^p, so
+  the default 8 probes keeps drops negligible below a ~ 0.6).
+- Exactness: a slot's statistics only ever accumulate points whose cell
+  id equals the slot key (claims never overwrite an occupied slot), so a
+  centroid is exactly the running mean of its own voxel's points —
+  collisions cost probes, never correctness.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import Array
+
+_EMPTY = jnp.iinfo(jnp.int32).max
+_CELLS_PER_AXIS = 1024  # 1024^3 = 2^30 fits int32 with room for _EMPTY
+
+
+class VoxelHashMap(NamedTuple):
+    key: Array     # (capacity,) int32 cell id; _EMPTY where unoccupied
+    psum: Array    # (capacity, D) running point sums
+    cnt: Array     # (capacity,) occupancy counts
+    origin: Array  # (D,) world position of cell (0, ..., 0)
+
+
+def make_map(capacity: int, dim: int, origin: Array,
+             dtype=jnp.float32) -> VoxelHashMap:
+    """Empty table.  ``capacity`` must be a power of two."""
+    if capacity & (capacity - 1):
+        raise ValueError(f"capacity must be a power of two, got {capacity}")
+    return VoxelHashMap(
+        key=jnp.full((capacity,), _EMPTY, jnp.int32),
+        psum=jnp.zeros((capacity, dim), dtype),
+        cnt=jnp.zeros((capacity,), dtype),
+        origin=jnp.asarray(origin, dtype),
+    )
+
+
+def origin_for(points: Array, mask: Array, voxel_size: float) -> Array:
+    """World origin centering the 1024^D cell box on the cloud's mean —
+    compute ONCE (e.g. from frame 0) and reuse for every insert."""
+    maskf = mask.astype(points.dtype)[:, None]
+    mean = jnp.sum(points * maskf, axis=0) / jnp.maximum(
+        jnp.sum(maskf), 1.0
+    )
+    return mean - 0.5 * _CELLS_PER_AXIS * voxel_size
+
+
+def _cell_ids(points: Array, mask: Array, origin: Array,
+              voxel_size: float):
+    """(cid int32, valid) — out-of-box points are invalid, not clipped."""
+    cells = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
+    in_box = jnp.all((cells >= 0) & (cells < _CELLS_PER_AXIS), axis=-1)
+    cells = jnp.clip(cells, 0, _CELLS_PER_AXIS - 1)
+    cid = cells[..., 0]
+    for k in range(1, points.shape[-1]):
+        cid = cid * _CELLS_PER_AXIS + cells[..., k]
+    return cid, mask & in_box
+
+
+def insert(
+    m: VoxelHashMap,
+    points: Array,
+    mask: Array,
+    voxel_size: float,
+    probes: int = 8,
+):
+    """Accumulate ``points[mask]`` into their voxels.  Returns
+    (updated map, dropped count) — dropped = points whose cell could not
+    claim a slot within ``probes`` rounds (table too full)."""
+    capacity = m.key.shape[0]
+    dtype = m.psum.dtype
+    shift = 32 - int(capacity).bit_length() + 1  # log2(capacity) high bits
+
+    cid, active = _cell_ids(points, mask, m.origin, voxel_size)
+    cidu = cid.astype(jnp.uint32)
+    h = ((cidu * jnp.uint32(2654435761)) >> shift).astype(jnp.int32)
+    # Odd step -> full cycle over the power-of-two table.
+    stp = (((cidu * jnp.uint32(2246822519)) >> shift) | 1).astype(jnp.int32)
+
+    key, psum, cnt = m.key, m.psum, m.cnt
+    slot = h
+    for _ in range(probes):
+        cur = key[slot]
+        # Claim empty slots: min over competing cids (claims never touch
+        # occupied slots — those points re-probe next round).
+        claim = jnp.where(active & (cur == _EMPTY), cid, _EMPTY)
+        key = key.at[slot].min(claim)
+        won = active & (key[slot] == cid)
+        addf = won.astype(dtype)
+        psum = psum.at[slot].add(points * addf[..., None])
+        cnt = cnt.at[slot].add(addf)
+        active = active & ~won
+        slot = (slot + stp) & (capacity - 1)
+    dropped = jnp.sum(active.astype(jnp.int32))
+    return m._replace(key=key, psum=psum, cnt=cnt), dropped
+
+
+def centroids(m: VoxelHashMap):
+    """(points (capacity, D), mask) — voxel centroids in slot order."""
+    occ = m.cnt > 0
+    pts = m.psum / jnp.maximum(m.cnt, 1.0)[:, None]
+    return jnp.where(occ[:, None], pts, 0.0), occ

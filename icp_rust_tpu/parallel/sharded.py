@@ -101,7 +101,7 @@ def sharded_icp2d(
             # the in-body collectives stay aligned.
             return dt.compose(t), _is_identity(dt)
 
-        t = _outer_fixed_point(outer, t0s, config.outer_iters)
+        t, _ = _outer_fixed_point(outer, t0s, config.outer_iters)
         return RigidTransform2(t.rot, t.t * s)
 
     spec = P(point_axis)
@@ -154,7 +154,7 @@ def dp_sp_icp2d(
             # the in-body collectives stay aligned.
             return dt.compose(t), _is_identity(dt)
 
-        t = _outer_fixed_point(outer, t0s, config.outer_iters)
+        t, _ = _outer_fixed_point(outer, t0s, config.outer_iters)
         return RigidTransform2(t.rot, t.t * s)
 
     pt = P(pair_axis, point_axis)
@@ -237,7 +237,7 @@ def dp_sp_icp3d_planar(
             )
             return dt.compose(t), _is_identity(dt)
 
-        t = _outer_fixed_point(outer, t0s, config.outer_iters)
+        t, _ = _outer_fixed_point(outer, t0s, config.outer_iters)
         return RigidTransform2(t.rot, t.t * s)
 
     pt = P(pair_axis, point_axis)
@@ -310,7 +310,7 @@ def dp_sp_icp_p2l(
             )
             return dt.compose(t), _is_identity(dt)
 
-        t = _outer_fixed_point(outer, t0s, config.outer_iters)
+        t, _ = _outer_fixed_point(outer, t0s, config.outer_iters)
         return t.rot, t.t * s
 
     pt = P(pair_axis, point_axis)

@@ -5,9 +5,11 @@ the trajectory (examples/scan2d.rs:65-67).  Here the odometry/SLAM state is
 a plain pytree (current transform, trajectory, map buffer, frame cursor)
 saved every K frames; resume = reload + seek.
 
-Orbax is used when available; the fallback is plain npz (the state is
-small).  Restart-based recovery: rerunning from the last checkpoint's
-frame cursor reproduces the run (the engine is deterministic).
+Format: plain atomic npz (the state is a handful of small arrays — a
+heavyweight checkpointing dependency would buy nothing here).
+Restart-based recovery: rerunning from the last checkpoint's frame
+cursor reproduces the run bitwise (the engine is deterministic given the
+(src, transform) state; verified by tests/test_resume.py).
 """
 
 from __future__ import annotations

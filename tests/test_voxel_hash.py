@@ -1,0 +1,121 @@
+"""Voxel hash map: exactness vs the sort-based voxelizer, persistence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_rust_tpu.ops import voxel_hash as vh
+from icp_rust_tpu.ops.voxel import voxel_downsample
+
+F32 = jnp.float32
+
+
+def _cloud(n=2000, seed=0, span=3.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(-span, span, (n, 3)), F32)
+
+
+def _centroid_set(pts, mask, decimals=5):
+    pts = np.asarray(pts)[np.asarray(mask)]
+    return set(map(tuple, np.round(pts, decimals)))
+
+
+def test_hash_map_matches_sort_based_voxelizer():
+    pts = _cloud()
+    mask = jnp.ones(pts.shape[0], bool)
+    vs = 0.25
+
+    m = vh.make_map(1 << 13, 3, vh.origin_for(pts, mask, vs))
+    m, dropped = vh.insert(m, pts, mask, vs)
+    assert int(dropped) == 0
+    got_pts, got_mask = vh.centroids(m)
+
+    # The sort-based voxelizer anchors cells at the cloud minimum; anchor
+    # the hash grid identically for an apples-to-apples comparison.
+    lo = jnp.min(pts, axis=0)
+    m2 = vh.make_map(1 << 13, 3, lo)
+    m2, d2 = vh.insert(m2, pts, mask, vs)
+    assert int(d2) == 0
+    got2_pts, got2_mask = vh.centroids(m2)
+    ref = voxel_downsample(pts, mask, vs, 1 << 12)
+
+    assert _centroid_set(got2_pts, got2_mask) == _centroid_set(
+        ref.points, ref.mask
+    )
+    # Same number of occupied voxels either way (origin shift can split
+    # clusters differently, so only counts are comparable for m).
+    assert abs(int(got_mask.sum()) - int(ref.mask.sum())) < 64
+
+
+def test_hash_map_collision_exactness():
+    """A tiny table forces probe chains; stats must stay per-cell exact."""
+    pts = _cloud(n=500, seed=1, span=2.0)
+    mask = jnp.ones(500, bool)
+    vs = 0.5
+    lo = jnp.min(pts, axis=0)
+    ref = voxel_downsample(pts, mask, vs, 1 << 10)
+    n_cells = int(ref.mask.sum())
+
+    m = vh.make_map(256, 3, lo)  # tight: load factor near capacity
+    m, dropped = vh.insert(m, pts, mask, vs, probes=8)
+    got_pts, got_mask = vh.centroids(m)
+    got = _centroid_set(got_pts, got_mask)
+    want = _centroid_set(ref.points, ref.mask)
+    # Every surviving centroid is bit-identical to a reference centroid
+    # (collisions cost drops, never corruption).
+    assert got <= want
+    assert int(got_mask.sum()) + int(dropped) >= n_cells
+
+
+def test_hash_map_persistence_across_inserts():
+    """Two inserts accumulate into the same voxels as one big insert."""
+    a, b = _cloud(800, seed=2), _cloud(800, seed=3)
+    mask = jnp.ones(800, bool)
+    vs = 0.25
+    both = jnp.concatenate([a, b])
+    origin = vh.origin_for(both, jnp.ones(1600, bool), vs)
+
+    m1 = vh.make_map(1 << 13, 3, origin)
+    m1, d1 = vh.insert(m1, a, mask, vs)
+    m1, d1b = vh.insert(m1, b, mask, vs)
+    m2 = vh.make_map(1 << 13, 3, origin)
+    m2, d2 = vh.insert(m2, both, jnp.ones(1600, bool), vs)
+    assert int(d1) == int(d1b) == int(d2) == 0
+
+    p1, k1 = vh.centroids(m1)
+    p2, k2 = vh.centroids(m2)
+    assert _centroid_set(p1, k1, 4) == _centroid_set(p2, k2, 4)
+
+
+def test_hash_map_out_of_box_dropped_not_aliased():
+    pts = jnp.asarray([[0.1, 0.1, 0.1], [1e5, 0.0, 0.0]], F32)
+    mask = jnp.ones(2, bool)
+    m = vh.make_map(64, 3, jnp.zeros(3, F32))
+    m, dropped = vh.insert(m, pts, mask, 0.5)
+    _, occ = vh.centroids(m)
+    assert int(occ.sum()) == 1  # far point neither inserted nor aliased
+    assert int(dropped) == 0    # out-of-box is invalid, not "table full"
+
+
+def test_hash_map_inside_scan_compiles():
+    """The whole point: insert must fuse into a lax.scan body."""
+    frames = jnp.stack([_cloud(512, seed=k, span=2.0) for k in range(4)])
+    mask = jnp.ones((4, 512), bool)
+    vs = 0.25
+    origin = vh.origin_for(frames[0], mask[0], vs)
+
+    @jax.jit
+    def run(frames, mask):
+        m = vh.make_map(1 << 13, 3, origin)
+
+        def step(m, fm):
+            f, msk = fm
+            m, d = vh.insert(m, f, msk, vs)
+            return m, d
+
+        m, drops = jax.lax.scan(step, m, (frames, mask))
+        return vh.centroids(m), drops
+
+    (pts, occ), drops = run(frames, mask)
+    assert int(occ.sum()) > 100
+    assert np.all(np.asarray(drops) == 0)
