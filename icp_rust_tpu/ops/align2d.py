@@ -282,6 +282,20 @@ def estimate_transform(
         )
         return RigidTransform2(rot, t)
 
+    if use_pallas and src.ndim == 3:
+        # Batched on TPU: whole loop in one launch, desynchronized per
+        # 8-pair grid block — the lockstep per-iteration loop paid the
+        # slowest pair's ~38 iterations for all pairs against a p90 of
+        # ~10 (align2d_pallas._inner_loop_batched_kernel).
+        from icp_rust_tpu.ops import align2d_pallas
+
+        rot, t = align2d_pallas.estimate_transform_pallas_batched(
+            src, dst, mask, huber_k, config.det_rel_eps,
+            config.inner_delta_sq_tol, config.inner_max_iter,
+            config.point_scale,
+        )
+        return RigidTransform2(rot, t)
+
     def _pallas_update(t, src, dst, mask):
         # ndim==3 routes to the pair-vectorized batched kernel inside
         # weighted_gn_update_pallas (one launch for the whole batch).

@@ -653,3 +653,241 @@ def estimate_transform_pallas(
     ])
     t = jnp.stack([out[0, 4], out[0, 5]])
     return rot, t
+
+
+# ---------------------------------------------------------------------------
+# The entire inner IRLS loop for a BLOCK of pairs per grid step.
+#
+# The lockstep batched loop (gn_stats_pallas_batched called per iteration)
+# pays the slowest pair's iteration count for every pair PLUS ~20 us of
+# per-iteration launch/bookkeeping: at 209 real scan pairs that measured
+# ~38 max iterations per outer ICP pass against a p90 of ~10.  Here the
+# grid walks 8-pair blocks (one full sublane group — a single pair would
+# fill 6% of a vreg) and each block loops IN-KERNEL only until ITS pairs
+# are done.  Consecutive scan pairs converge similarly, so blocks are
+# homogeneous and the batch desynchronizes at block granularity with no
+# per-iteration launches at all.  Per-pair semantics are IDENTICAL to the
+# lockstep loop (rows are independent; a done pair's carry freezes).
+# ---------------------------------------------------------------------------
+
+_PAIR_BLK = 64  # per-iteration cost ~ a + b*B with a ~ 5us fixed issue
+                # overhead: 8-pair blocks waste issue slots, 209 lockstep
+                # pays the global max iters; 32 measured best.
+
+
+def _inner_loop_batched_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref,
+                               out_ref, *, huber_k: float,
+                               det_rel_eps: float, tol_d2: float,
+                               max_iter: int, point_scale: float):
+    sx = sx_ref[:]  # (8, N)
+    sy = sy_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    mask = m_ref[:] > 0.5
+    mf = jnp.where(mask, 1.0, 0.0)
+    n = jnp.sum(mf, axis=1, keepdims=True).astype(jnp.int32)  # (8, 1)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    k2 = jnp.float32(huber_k * huber_k)
+    hk = jnp.float32(huber_k)
+    blk = _PAIR_BLK
+
+    def cond(c):
+        it, done = c[6], c[7]
+        return (it < max_iter) & jnp.any(done == 0)
+
+    def body(c):
+        r00, r01, r10, r11, tx, ty, it, done, prev = c  # (8,1) each
+        rx = r00 * sx + r01 * sy + tx - dx  # (8, N)
+        ry = r10 * sx + r11 * sy + ty - dy
+        mask2 = jnp.concatenate([mask, mask], axis=0)
+        n2 = jnp.concatenate([n, n], axis=0)
+        med = _median_radix2_rows(
+            jnp.concatenate([rx, ry], axis=0), mask2, n2)
+        med_x, med_y = med[:blk], med[blk:]
+        mad = _median_radix2_rows(
+            jnp.concatenate([jnp.abs(rx - med_x), jnp.abs(ry - med_y)],
+                            axis=0), mask2, n2)
+        sig_x = jnp.float32(_MAD_SCALE) * mad[:blk]
+        sig_y = jnp.float32(_MAD_SCALE) * mad[blk:]
+        g_x = jnp.where(sig_x != 0.0,
+                        1.0 / jnp.where(sig_x != 0.0, sig_x, one), zero)
+        g_y = jnp.where(sig_y != 0.0,
+                        1.0 / jnp.where(sig_y != 0.0, sig_y, one), zero)
+
+        ex = rx * rx
+        ey = ry * ry
+        u_x = jnp.where(ex <= k2, 1.0, hk * jax.lax.rsqrt(ex)) * g_x * mf
+        u_y = jnp.where(ey <= k2, 1.0, hk * jax.lax.rsqrt(ey)) * g_y * mf
+        w_x = -r00 * sy + r01 * sx
+        w_y = -r10 * sy + r11 * sx
+
+        def rsum(v):
+            return jnp.sum(v, axis=1, keepdims=True)  # (8, 1)
+
+        s_u_x = rsum(u_x)
+        s_uw_x = rsum(u_x * w_x)
+        s_uw2_x = rsum(u_x * w_x * w_x)
+        s_ur_x = rsum(u_x * rx)
+        s_uwr_x = rsum(u_x * w_x * rx)
+        s_u_y = rsum(u_y)
+        s_uw_y = rsum(u_y * w_y)
+        s_uw2_y = rsum(u_y * w_y * w_y)
+        s_ur_y = rsum(u_y * ry)
+        s_uwr_y = rsum(u_y * w_y * ry)
+        e = ex + ey
+        err = rsum(jnp.where(e <= k2, e, 2.0 * hk * jnp.sqrt(e) - k2) * mf)
+
+        # symmetric 3x3 normal equations (docs/jacobian.md), per pair
+        h00 = r00 * r00 * s_u_x + r10 * r10 * s_u_y
+        h01 = r00 * r01 * s_u_x + r10 * r11 * s_u_y
+        h02 = r00 * s_uw_x + r10 * s_uw_y
+        h11 = r01 * r01 * s_u_x + r11 * r11 * s_u_y
+        h12 = r01 * s_uw_x + r11 * s_uw_y
+        h22 = s_uw2_x + s_uw2_y
+        b0 = r00 * s_ur_x + r10 * s_ur_y
+        b1 = r01 * s_ur_x + r11 * s_ur_y
+        b2 = s_uwr_x + s_uwr_y
+
+        det = (h00 * (h11 * h22 - h12 * h12)
+               - h01 * (h01 * h22 - h12 * h02)
+               + h02 * (h01 * h12 - h11 * h02))
+        if det_rel_eps > 0.0:
+            mx = jnp.maximum(
+                jnp.maximum(jnp.abs(h00), jnp.abs(h01)),
+                jnp.maximum(
+                    jnp.maximum(jnp.abs(h02), jnp.abs(h11)),
+                    jnp.maximum(jnp.abs(h12), jnp.abs(h22)),
+                ),
+            )
+            ok = jnp.abs(det) > jnp.float32(det_rel_eps) * mx * mx * mx
+        else:
+            ok = det != 0.0
+        ok = ok & (n >= 2)
+        safe_det = jnp.where(ok, det, one)
+        a00 = h11 * h22 - h12 * h12
+        a01 = h02 * h12 - h01 * h22
+        a02 = h01 * h12 - h02 * h11
+        a11 = h00 * h22 - h02 * h02
+        a12 = h01 * h02 - h00 * h12
+        a22 = h00 * h11 - h01 * h01
+        d0 = -(a00 * b0 + a01 * b1 + a02 * b2) / safe_det
+        d1 = -(a01 * b0 + a11 * b1 + a12 * b2) / safe_det
+        d2 = -(a02 * b0 + a12 * b1 + a22 * b2) / safe_det
+        d0 = jnp.where(ok, d0, zero)
+        d1 = jnp.where(ok, d1, zero)
+        d2 = jnp.where(ok, d2, zero)
+
+        # stop conditions, in estimate_transform's exact order
+        stop = ~ok
+        scale = jnp.float32(point_scale)
+        d2_phys = (d0 * scale) ** 2 + (d1 * scale) ** 2 + d2 * d2
+        stop = stop | (d2_phys < jnp.float32(tol_d2))
+        stop = stop | (err > prev)
+
+        # SE(2) exp (small-angle branch matching geometry.se2), per pair
+        th = d2
+        small = jnp.abs(th) < jnp.float32(_SMALL_ANGLE_F32)
+        safe_th = jnp.where(small, one, th)
+        t2 = th * th
+        av = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(safe_th) / safe_th)
+        bv = jnp.where(small, th / 2.0 - t2 * th / 24.0,
+                       (1.0 - jnp.cos(safe_th)) / safe_th)
+        tdx = av * d0 - bv * d1
+        tdy = bv * d0 + av * d1
+        cth = jnp.cos(th)
+        sth = jnp.sin(th)
+        n00 = cth * r00 - sth * r10
+        n01 = cth * r01 - sth * r11
+        n10 = sth * r00 + cth * r10
+        n11 = sth * r01 + cth * r11
+        ntx = cth * tx - sth * ty + tdx
+        nty = sth * tx + cth * ty + tdy
+
+        active = done == 0
+        keep = stop | ~active  # done pairs stay frozen
+        r00n = jnp.where(keep, r00, n00)
+        r01n = jnp.where(keep, r01, n01)
+        r10n = jnp.where(keep, r10, n10)
+        r11n = jnp.where(keep, r11, n11)
+        txn = jnp.where(keep, tx, ntx)
+        tyn = jnp.where(keep, ty, nty)
+        prev_n = jnp.where(keep, prev, err)
+        done_n = jnp.where(active & stop, 1, done)
+        return (r00n, r01n, r10n, r11n, txn, tyn, it + 1, done_n, prev_n)
+
+    ones = jnp.ones((blk, 1), jnp.float32)
+    zeros = jnp.zeros((blk, 1), jnp.float32)
+    init = (ones, zeros, zeros, ones, zeros, zeros, 0,
+            jnp.zeros((blk, 1), jnp.int32),
+            jnp.full((blk, 1), jnp.finfo(jnp.float32).max))
+    r00, r01, r10, r11, tx, ty, it, done, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    out_ref[:, 0] = r00[:, 0]
+    out_ref[:, 1] = r01[:, 0]
+    out_ref[:, 2] = r10[:, 0]
+    out_ref[:, 3] = r11[:, 0]
+    out_ref[:, 4] = tx[:, 0]
+    out_ref[:, 5] = ty[:, 0]
+    out_ref[:, 6] = jnp.full((blk,), it, jnp.float32)
+    out_ref[:, 7] = jnp.zeros((blk,), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("huber_k", "det_rel_eps", "tol_d2", "max_iter",
+                     "point_scale", "interpret"),
+)
+def estimate_transform_pallas_batched(
+    src: Array,
+    dst: Array,
+    mask: Array,
+    huber_k: float,
+    det_rel_eps: float,
+    tol_d2: float,
+    max_iter: int,
+    point_scale: float,
+    interpret: bool = False,
+):
+    """Whole inner IRLS loop for EVERY pair, desynchronized per 8-pair
+    block.  src/dst: (B, N, 2), N a multiple of 128; mask (B, N).
+    Returns (rot (B, 2, 2), t (B, 2)) in solver units, starting from
+    identity — per-pair semantics identical to the lockstep loop."""
+    b, n_pts, _ = src.shape
+    b_pad = -(-b // _PAIR_BLK) * _PAIR_BLK
+    if b_pad != b:
+        pad = [(0, b_pad - b)]
+        src = jnp.pad(src, pad + [(0, 0), (0, 0)])
+        dst = jnp.pad(dst, pad + [(0, 0), (0, 0)])
+        # padded pairs: mask all-False -> n=0 -> not ok -> stop at iter 1
+        mask = jnp.pad(mask, pad + [(0, 0)])
+
+    sx = src[..., 0]
+    sy = src[..., 1]
+    dx = dst[..., 0]
+    dy = dst[..., 1]
+    mf = mask.astype(jnp.float32)
+
+    spec = pl.BlockSpec((_PAIR_BLK, n_pts), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _inner_loop_batched_kernel, huber_k=float(huber_k),
+            det_rel_eps=float(det_rel_eps), tol_d2=float(tol_d2),
+            max_iter=int(max_iter), point_scale=float(point_scale),
+        ),
+        grid=(b_pad // _PAIR_BLK,),
+        in_specs=[spec] * 5,
+        out_specs=pl.BlockSpec((_PAIR_BLK, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 8), jnp.float32),
+        interpret=interpret,
+    )(sx, sy, dx, dy, mf)
+    out = out[:b]
+    rot = jnp.stack([
+        jnp.stack([out[:, 0], out[:, 1]], axis=-1),
+        jnp.stack([out[:, 2], out[:, 3]], axis=-1),
+    ], axis=-2)
+    t = out[:, 4:6]
+    return rot, t

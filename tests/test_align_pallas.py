@@ -176,3 +176,40 @@ def test_batched_kernel_matches_per_pair():
                                1.345, interpret=True)
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
                                    rtol=2e-6, atol=1e-7)
+
+
+def test_batched_whole_loop_kernel_matches_xla_loop():
+    """estimate_transform_pallas_batched (block-desynchronized whole
+    inner loop) == the XLA batched loop, incl. a fully-masked pair."""
+    import numpy as np
+
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.ops.align2d_pallas import (
+        estimate_transform_pallas_batched,
+    )
+
+    rng = np.random.default_rng(0)
+    b, n = 5, 384
+    src = jnp.asarray(rng.uniform(-2, 2, (b, n, 2)), jnp.float32)
+    c, s_ = np.cos(0.1), np.sin(0.1)
+    dst = src @ jnp.asarray([[c, s_], [-s_, c]], jnp.float32) + jnp.asarray(
+        [0.2, -0.1], jnp.float32)
+    dst = dst + jnp.asarray(rng.normal(0, 0.02, (b, n, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, n)) > 0.15)
+    mask = mask.at[3].set(False)
+    cfg = ICPConfig(compute_dtype=jnp.float32, det_rel_eps=1e-9,
+                    align_backend="xla")
+    t_ref = align2d.estimate_transform(src, dst, mask, cfg)
+    rot, t = estimate_transform_pallas_batched(
+        src, dst, mask, cfg.huber_k, cfg.det_rel_eps,
+        cfg.inner_delta_sq_tol, cfg.inner_max_iter, 1.0, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(t_ref.rot),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref.t),
+                               atol=1e-6)
+    # fully-masked pair -> identity (Option::None semantics)
+    np.testing.assert_array_equal(np.asarray(rot[3]),
+                                  np.eye(2, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(t[3]),
+                                  np.zeros(2, np.float32))
