@@ -264,3 +264,36 @@ def test_fused_odometry_smoke_on_device():
     _, path_x = run_odometry_fused(frames, masks, cfg_x)
     assert np.all(np.isfinite(path_p))
     np.testing.assert_allclose(path_p, path_x, atol=2e-3)
+
+
+def test_batched_whole_loop_kernel_on_device():
+    """Block-desynchronized batched whole-loop kernel vs the XLA batched
+    loop on real Mosaic (odd pair count spanning >1 block)."""
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.ops import align2d
+    from icp_rust_tpu.ops.align2d_pallas import (
+        estimate_transform_pallas_batched,
+    )
+
+    rng = np.random.default_rng(2)
+    b, n = 70, 384  # 70 pairs -> 2 blocks of 64 with padding
+    src = jnp.asarray(rng.uniform(-2, 2, (b, n, 2)), F32)
+    c, s = np.cos(0.12), np.sin(0.12)
+    dst = src @ jnp.asarray([[c, s], [-s, c]], F32) + jnp.asarray(
+        [0.15, -0.1], F32)
+    dst = dst + jnp.asarray(rng.normal(0, 0.02, (b, n, 2)), F32)
+    mask = jnp.asarray(rng.random((b, n)) > 0.15)
+    mask = mask.at[7].set(False)
+    cfg = ICPConfig(compute_dtype=F32, det_rel_eps=1e-9,
+                    align_backend="xla")
+    t_ref = align2d.estimate_transform(src, dst, mask, cfg)
+    rot, t = estimate_transform_pallas_batched(
+        src, dst, mask, cfg.huber_k, cfg.det_rel_eps,
+        cfg.inner_delta_sq_tol, cfg.inner_max_iter, 1.0,
+    )
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(t_ref.rot),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref.t),
+                               atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(rot[7]),
+                                  np.eye(2, dtype=np.float32))
