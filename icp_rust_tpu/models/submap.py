@@ -139,15 +139,26 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
     m, d0 = vh.insert(m, pts[0], msk[0], voxel_size, probes)
     t0 = RigidTransform2.identity(dtype=dtype)
 
+    # Queries in azimuth order (sensor frame) to match the per-frame map
+    # sort in the scan body; ONE vectorized pre-pass over all frames
+    # (sorting inside the body would re-pay it per frame).  Permutes the
+    # point axis only (f32 reduction order).
+    qaz = jnp.arctan2(pts[..., 1], pts[..., 0])
+    qorder = jnp.argsort(jnp.where(msk, qaz, jnp.inf), axis=-1)
+    pts = jnp.take_along_axis(pts, qorder[..., None], axis=-2)
+    msk = jnp.take_along_axis(msk, qorder, axis=-1)
+
     def step(carry, fm):
-        t, m = carry
+        t, rel, m = carry
         scan, smask = fm
-        # Queries in azimuth order (sensor frame) to match the map sort
-        # below; permutes the point axis only (f32 reduction order).
-        qaz = jnp.arctan2(scan[:, 1], scan[:, 0])
-        qorder = jnp.argsort(jnp.where(smask, qaz, jnp.inf))
-        scan = scan[qorder]
-        smask = smask[qorder]
+        # Constant-velocity warm start: T_pred = T_prev o rel where
+        # rel = T_{k-1}^-1 o T_k.  Cuts the outer fixed-point iterations
+        # (~9.5 -> fewer NN sweeps/frame); there is no oracle-parity
+        # constraint on the submap config (no reference counterpart).
+        t_warm = RigidTransform2(
+            jnp.einsum("ij,jk->ik", t.rot, rel.rot),
+            jnp.einsum("ij,j->i", t.rot, rel.t) + t.t,
+        )
         map_pts, map_mask = vh.centroids(m)
         # Sort the map view by AZIMUTH AROUND THE SENSOR once per frame:
         # hash-random slot order defeats the NN kernel's bbox tile
@@ -160,13 +171,19 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
         order = jnp.argsort(jnp.where(map_mask, az, jnp.inf))
         map_pts = map_pts[order]
         map_mask = map_mask[order]
-        t = driver(scan, map_pts, smask, map_mask, t, config)
-        scan_in_map = _apply_planar(t, scan, dtype)
+        t_new = driver(scan, map_pts, smask, map_mask, t_warm, config)
+        t_inv = t.inverse()
+        rel_new = RigidTransform2(
+            jnp.einsum("ij,jk->ik", t_inv.rot, t_new.rot),
+            jnp.einsum("ij,j->i", t_inv.rot, t_new.t) + t_inv.t,
+        )
+        scan_in_map = _apply_planar(t_new, scan, dtype)
         m, d = vh.insert(m, scan_in_map, smask, voxel_size, probes)
-        return (t, m), (t.rot, t.t, d)
+        return (t_new, rel_new, m), (t_new.rot, t_new.t, d)
 
-    (_, m), (rots, ts, drops) = jax.lax.scan(
-        step, (t0, m), (pts[1:], msk[1:])
+    rel0 = RigidTransform2.identity(dtype=dtype)
+    (_, _, m), (rots, ts, drops) = jax.lax.scan(
+        step, (t0, rel0, m), (pts[1:], msk[1:])
     )
     return rots, ts, jnp.concatenate([d0[None], drops])
 
