@@ -9,6 +9,8 @@ Usage (from the repo root):
     python -m icp_rust_tpu.cli odometry3d --hdf5 scans.hdf5 [--synthesize N]
     python -m icp_rust_tpu.cli slam --scans DIR [--frames N]  (odometry +
         loop closures + pose-graph optimization)
+    python -m icp_rust_tpu.cli slam3d --hdf5 scans.hdf5  (SE(3) p2l
+        odometry + 3D loop closures + SE(3) pose graph)
 """
 
 from __future__ import annotations
@@ -222,6 +224,37 @@ def cmd_slam(args):
     print(json.dumps(summary))
 
 
+def cmd_slam3d(args):
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.models.slam import run_slam3d
+    from icp_rust_tpu.utils import io as scan_io
+
+    cfg = _config(args)
+    if args.synthesize:
+        scan_io.synthesize_scans3d(args.hdf5, n_frames=args.synthesize)
+        print(f"synthesized {args.synthesize} frames -> {args.hdf5}",
+              file=sys.stderr)
+    frames = scan_io.load_scans3d_hdf5(args.hdf5)
+    if args.frames:
+        frames = frames[: args.frames]
+    result = run_slam3d(
+        frames, cfg, loop_radius=args.loop_radius, min_gap=args.loop_gap,
+        normals_voxel_size=args.normals_voxel,
+    )
+    summary = {
+        "frames": len(frames) - 1,
+        "loop_closures": int(result.n_loop_closures),
+        "graph_error_before": float(result.error_before),
+        "graph_error_after": float(result.error_after),
+        "path_end": result.optimized_path[-1].tolist(),
+    }
+    if args.plot:
+        _plot(result.optimized_path[:, :2], args.plot,
+              extra=result.odometry_path[:, :2])
+    print(json.dumps(summary))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="icp_rust_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -254,6 +287,15 @@ def main(argv=None):
     p3.add_argument("--synthesize", type=int, default=None)
     common(p3)
     p3.set_defaults(fn=cmd_odometry3d)
+
+    p3s = sub.add_parser("slam3d")
+    p3s.add_argument("--hdf5", required=True)
+    p3s.add_argument("--synthesize", type=int, default=None)
+    p3s.add_argument("--loop-radius", type=float, default=1.0)
+    p3s.add_argument("--loop-gap", type=int, default=8)
+    p3s.add_argument("--normals-voxel", type=float, default=0.3)
+    common(p3s)
+    p3s.set_defaults(fn=cmd_slam3d)
 
     ps = sub.add_parser("slam")
     ps.add_argument("--scans", required=True)
