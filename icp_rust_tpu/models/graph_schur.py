@@ -124,27 +124,95 @@ def _edge_blocks(graph: pg.PoseGraph, r, ji, jj, w):
     return a_ii, a_jj, a_ij, b_i, b_j
 
 
-def _solve_delta(graph, r, ji, jj, w, st):
-    """Exact H delta = -b via chain elimination; returns delta (P, dof)."""
-    p = st["p"]
+def _solve_delta(graph, r, ji, jj, w, st, mesh=None, seg_axis="dp"):
+    """Exact H delta = -b via chain elimination; returns delta (P, dof).
+
+    With ``mesh``, segments shard over ``seg_axis`` (shard_map): each
+    device eliminates its segments and the skeleton system psums — the
+    distributed Schur-complement reduction of SURVEY §2.3.  The skeleton
+    solve runs replicated (it is tiny); back-substitution is local.
+    """
     dof = r.shape[-1]
-    dtype = r.dtype
-    ns = len(st["skel"])
-    a_ii, a_jj, a_ij, b_i, b_j = _edge_blocks(graph, r, ji, jj, w)
+    blocks = _edge_blocks(graph, r, ji, jj, w)
+    consts = dict(
+        p=st["p"], ns=len(st["skel"]),
+        skel=jnp.asarray(st["skel"]),
+        loop_e=jnp.asarray(st["loop_e"]),
+        loop_ia=jnp.asarray(st["loop_ia"]),
+        loop_ib=jnp.asarray(st["loop_ib"]),
+        n_loops=len(st["loop_e"]),
+    )
+    seg = dict(
+        sp=jnp.asarray(st["seg_pose"]),
+        valid=jnp.asarray(st["valid"]),
+        u_mask=jnp.asarray(st["u_mask"]),
+        seg_a=jnp.asarray(st["seg_a"]),
+        seg_e=jnp.asarray(st["seg_last_edge"]),
+        has=jnp.asarray(st["has_int"]),
+        ia=jnp.asarray(st["ia"]),
+        ib=jnp.asarray(st["ib"]),
+        inner_pose=jnp.asarray(st["inner_pose"])[:, :-1],
+        last_pose=jnp.asarray(st["last_pose"]),
+        segv=jnp.ones((st["nseg"],), bool),
+    )
+    if mesh is None:
+        return _solve_delta_local(blocks, seg, consts, dof, None, None)
+
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[seg_axis]
+    nseg = st["nseg"]
+    pad = -(-nseg // n_dev) * n_dev - nseg
+    if pad:
+        # Padded segments contribute NOTHING (segv False masks them).
+        def padseg(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)]
+            )
+
+        seg = dict(
+            sp=padseg(seg["sp"], 1), valid=padseg(seg["valid"], False),
+            u_mask=padseg(seg["u_mask"], False),
+            seg_a=padseg(seg["seg_a"]), seg_e=padseg(seg["seg_e"]),
+            has=padseg(seg["has"], False), ia=padseg(seg["ia"]),
+            ib=padseg(seg["ib"]),
+            inner_pose=padseg(seg["inner_pose"], consts["p"]),
+            last_pose=padseg(seg["last_pose"], consts["p"]),
+            segv=padseg(seg["segv"], False),
+        )
+    keys = sorted(seg)
+    fn = jax.shard_map(
+        lambda blk, *seg_vals: _solve_delta_local(
+            blk, dict(zip(keys, seg_vals)), consts, dof, seg_axis, None
+        ),
+        mesh=mesh,
+        in_specs=(P(),) + tuple(P(seg_axis) for _ in keys),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(blocks, *(seg[k] for k in keys))
+
+
+def _solve_delta_local(blocks, seg, consts, dof, axis_name, _unused):
+    a_ii, a_jj, a_ij, b_i, b_j = blocks
+    p = consts["p"]
+    ns = consts["ns"]
+    dtype = a_ii.dtype
     eye = jnp.eye(dof, dtype=dtype)
 
     # Interior pose k has diagonal D = a_jj[k-1] + a_ii[k]; coupling to
-    # pose k+1 is U = a_ij[k].  All (nseg, L, ...) via gathers.
-    sp = jnp.asarray(st["seg_pose"])                    # (nseg, L)
-    validj = jnp.asarray(st["valid"])
-    u_maskj = jnp.asarray(st["u_mask"])
+    # pose k+1 is U = a_ij[k].  All (nseg_local, L, ...) via gathers.
+    sp = seg["sp"]
+    validj = seg["valid"]
+    u_maskj = seg["u_mask"]
     d_blk = jnp.where(validj[..., None, None],
                       a_jj[sp - 1] + a_ii[sp], eye)
     rhs = jnp.where(validj[..., None], -(b_j[sp - 1] + b_i[sp]), 0.0)
     u_blk = jnp.where(u_maskj[..., None, None], a_ij[sp], 0.0)
-    seg_a = jnp.asarray(st["seg_a"])
-    seg_e = jnp.asarray(st["seg_last_edge"])
-    hasj = jnp.asarray(st["has_int"])
+    seg_a = seg["seg_a"]
+    seg_e = seg["seg_e"]
+    hasj = seg["has"]
+    segv = seg["segv"]
     lcpl = jnp.where(hasj[:, None, None],
                      jnp.swapaxes(a_ij[seg_a], -1, -2), 0.0)
     rcpl = jnp.where(hasj[:, None, None], a_ij[seg_e], 0.0)
@@ -186,27 +254,31 @@ def _solve_delta(graph, r, ji, jj, w, st):
     d_m, c_m, b_m, hll_acc, bl_acc, stacked = jax.vmap(eliminate)(
         d_blk, u_blk, rhs, lcpl, validj
     )
-    pm_inv = jnp.linalg.inv(d_m)  # (nseg, dof, dof)
+    pm_inv = jnp.linalg.inv(d_m)  # (nseg_local, dof, dof)
 
-    # ---- skeleton assembly (all segments at once) ----
+    # ---- skeleton assembly (all local segments at once) ----
     # Eliminate each segment's LAST interior pose onto (L, R); for empty
     # segments every eliminated quantity is zero and the chain edge's own
-    # blocks flow through the same expressions.
+    # blocks flow through the same expressions.  Padded segments (segv
+    # False) contribute nothing.
     pc = pm_inv @ c_m
     pr = pm_inv @ rcpl
     pb = jnp.einsum("sij,sj->si", pm_inv, b_m)
     cmt = jnp.swapaxes(c_m, -1, -2)
     rt = jnp.swapaxes(rcpl, -1, -2)
-    c_ll = a_ii[seg_a] + hll_acc - cmt @ pc
-    c_rr = a_jj[seg_e] - rt @ pr
-    c_lr = jnp.where(hasj[:, None, None], -cmt @ pr, a_ij[seg_a])
+    sv = segv[:, None, None].astype(dtype)
+    c_ll = (a_ii[seg_a] + hll_acc - cmt @ pc) * sv
+    c_rr = (a_jj[seg_e] - rt @ pr) * sv
+    c_lr = jnp.where(hasj[:, None, None], -cmt @ pr, a_ij[seg_a]) * sv
     c_rl = jnp.where(hasj[:, None, None], -rt @ pc,
-                     jnp.swapaxes(a_ij[seg_a], -1, -2))
-    v_l = (-b_i[seg_a] + bl_acc - jnp.einsum("sij,sj->si", cmt, pb))
-    v_r = (-b_j[seg_e] - jnp.einsum("sij,sj->si", rt, pb))
+                     jnp.swapaxes(a_ij[seg_a], -1, -2)) * sv
+    svv = segv[:, None].astype(dtype)
+    v_l = (-b_i[seg_a] + bl_acc
+           - jnp.einsum("sij,sj->si", cmt, pb)) * svv
+    v_r = (-b_j[seg_e] - jnp.einsum("sij,sj->si", rt, pb)) * svv
 
-    ia = jnp.asarray(st["ia"])
-    ib = jnp.asarray(st["ib"])
+    ia = seg["ia"]
+    ib = seg["ib"]
     hs = jnp.zeros((ns, dof, ns, dof), dtype)
     bs = jnp.zeros((ns, dof), dtype)
     hs = hs.at[ia, :, ia, :].add(c_ll)
@@ -215,11 +287,12 @@ def _solve_delta(graph, r, ji, jj, w, st):
     hs = hs.at[ib, :, ia, :].add(c_rl)
     bs = bs.at[ia].add(v_l)
     bs = bs.at[ib].add(v_r)
-    # Loop-closure edges (both endpoints in the skeleton).
-    le = jnp.asarray(st["loop_e"])
-    lia = jnp.asarray(st["loop_ia"])
-    lib = jnp.asarray(st["loop_ib"])
-    if len(st["loop_e"]):
+    if axis_name:
+        hs = jax.lax.psum(hs, axis_name)
+        bs = jax.lax.psum(bs, axis_name)
+    # Loop-closure edges (both endpoints in the skeleton; replicated).
+    if consts["n_loops"]:
+        le, lia, lib = consts["loop_e"], consts["loop_ia"], consts["loop_ib"]
         hs = hs.at[lia, :, lia, :].add(a_ii[le])
         hs = hs.at[lib, :, lib, :].add(a_jj[le])
         hs = hs.at[lia, :, lib, :].add(a_ij[le])
@@ -240,9 +313,8 @@ def _solve_delta(graph, r, ji, jj, w, st):
 
     # Row p is a slack target for padded scatter indices.
     delta = jnp.zeros((p + 1, dof), dtype)
-    delta = delta.at[jnp.asarray(st["skel"])].set(x_s)
 
-    # ---- back-substitution per segment (reverse scan), vmapped ----
+    # ---- back-substitution per local segment (reverse scan), vmapped ----
     def backsub(pm_inv_s, c_m_s, r_s, b_m_s, stacked_s, xl, xr):
         pinv_st, pu_st, pc_st, pb_st, v_st = stacked_s
         x_m = pm_inv_s @ (b_m_s - c_m_s @ xl - r_s @ xr)
@@ -260,11 +332,13 @@ def _solve_delta(graph, r, ji, jj, w, st):
     x_last, x_inner = jax.vmap(backsub)(
         pm_inv, c_m, rcpl, b_m, stacked, x_s[ia], x_s[ib]
     )
-    inner_pose = jnp.asarray(st["inner_pose"])[:, :-1]  # scan has L-1 rows
-    delta = delta.at[inner_pose.reshape(-1)].set(
+    delta = delta.at[seg["inner_pose"].reshape(-1)].set(
         x_inner.reshape(-1, dof), mode="drop"
     )
-    delta = delta.at[jnp.asarray(st["last_pose"])].set(x_last, mode="drop")
+    delta = delta.at[seg["last_pose"]].set(x_last, mode="drop")
+    if axis_name:
+        delta = jax.lax.psum(delta, axis_name)
+    delta = delta.at[consts["skel"]].set(x_s)
     return delta[:p]
 
 
@@ -274,12 +348,18 @@ def optimize_schur(
     huber_k: float | None = None,
     kernel: str = "huber",
     delta_tol: float = 1e-10,
+    mesh=None,
+    seg_axis: str = "dp",
 ) -> pg.PoseGraph:
     """Gauss-Newton with the chain-elimination Schur solve per iteration.
 
     Same fixed point as ``pg.optimize(solve="dense")`` (the linear solves
     are exact); per-iteration cost is one parallel segment scan plus a
-    dense solve of the tiny loop-closure skeleton."""
+    dense solve of the tiny loop-closure skeleton.
+
+    With ``mesh``, segments shard over ``seg_axis``: per-device Thomas
+    elimination + psum'd skeleton — the distributed Schur-complement
+    reduction (matches single-device to fp; tests/test_graph_schur.py)."""
     structure = _structure(graph)
     tcls, dof = pg._group(graph.poses)
     p = graph.poses.t.shape[0]
@@ -290,7 +370,8 @@ def optimize_schur(
             g, done = carry
             r, ji, jj = pg.edge_residuals_and_jacobians(g)
             w = pg._edge_weights(r, g.info, g.edge_mask, huber_k, kernel)
-            delta = _solve_delta(g, r, ji, jj, w, structure)
+            delta = _solve_delta(g, r, ji, jj, w, structure, mesh,
+                                 seg_axis)
             delta = jnp.where(done, 0.0, delta)
             stepped = tcls.from_twist(delta)
             new_done = done | (jnp.sum(delta * delta) < delta_tol)

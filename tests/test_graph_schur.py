@@ -111,3 +111,21 @@ def test_schur_rejects_non_chain_graph():
     bad = graph._replace(edge_i=graph.edge_i.at[3].set(7))
     with pytest.raises(ValueError):
         optimize_schur(bad, iters=2)
+
+
+@pytest.mark.parametrize("graph_fn", [_graph2d, _graph3d])
+def test_distributed_schur_matches_single_device(graph_fn):
+    """Segment-sharded elimination + psum'd skeleton == single device."""
+    from icp_rust_tpu.parallel import make_mesh
+
+    graph = graph_fn()
+    mesh = make_mesh(("dp",), (8,))
+    out_s = optimize_schur(graph, iters=12)
+    out_d = optimize_schur(graph, iters=12, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out_d.poses.t), np.asarray(out_s.poses.t), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.poses.rot), np.asarray(out_s.poses.rot),
+        atol=1e-10,
+    )
