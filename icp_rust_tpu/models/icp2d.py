@@ -97,7 +97,7 @@ def _is_identity(dt):
     )
 
 
-def _outer_fixed_point(step, t0, max_iters: int):
+def _outer_fixed_point(step, t0, max_iters: int, aux0=None):
     """Run the outer ICP loop with an EXACT fixed-point early exit.
 
     The reference runs exactly ``max_iter`` outer iterations with no
@@ -111,7 +111,28 @@ def _outer_fixed_point(step, t0, max_iters: int):
     what produces an exactly-identity dT at convergence.  Batched lanes
     simply stop changing once their dT is identity, so the loop exits when
     ALL lanes have hit their fixed point (or at max_iters).
+
+    With ``aux0`` the loop threads an auxiliary carry through ``step``
+    (used for the NN prune-bound: last iteration's distances).  The aux
+    only ever affects PRUNING (bit-identical NN results), so the
+    fixed-point argument is unchanged.
     """
+
+    if aux0 is not None:
+        def cond_a(carry):
+            _, it, fixed, _ = carry
+            return (it < max_iters) & ~jnp.all(fixed)
+
+        def body_a(carry):
+            t, it, _, aux = carry
+            t_next, fixed, aux_next = step(t, aux)
+            return (t_next, it + 1, fixed, aux_next)
+
+        t, it, _, _ = jax.lax.while_loop(
+            cond_a, body_a,
+            (t0, 0, jnp.zeros(t0.t.shape[:-1], bool), aux0),
+        )
+        return t, it
 
     def cond(carry):
         _, it, fixed = carry
@@ -196,17 +217,27 @@ def icp2d(
         src, src_mask, _ = _spatial_sort(src, src_mask)
         dst, dst_mask, _ = _spatial_sort(dst, dst_mask)
 
-    def outer(t):
+    def outer(t, aux):
+        prev_d2, prev_q = aux
         src_t = t.apply_points(src)
-        _, matched = nearest_neighbor_matched(
+        # Valid NN upper bound: the db is fixed across outer iterations,
+        # so dist_new(q) <= dist_prev(q) + |Δq| — seeds the kernel's
+        # prune threshold (results stay bit-identical).
+        move = jnp.linalg.norm(src_t - prev_q, axis=-1)
+        qb = (jnp.sqrt(prev_d2) + move) ** 2
+        res, matched = nearest_neighbor_matched(
             src_t, dst, dst_mask, backend=config.nn_backend,
             tile=config.nn_dst_tile, method=config.nn_method,
-            q_tile=config.nn_query_tile,
+            q_tile=config.nn_query_tile, q_bound=qb,
         )
         dt = align2d.estimate_transform(src_t, matched, src_mask, config)
-        return dt.compose(t), _is_identity(dt)
+        return dt.compose(t), _is_identity(dt), (res.dist_sq, src_t)
 
-    t, it = _outer_fixed_point(outer, t0, config.outer_iters)
+    aux0 = (
+        jnp.full(src.shape[:-1], jnp.inf, src.dtype),
+        src,
+    )
+    t, it = _outer_fixed_point(outer, t0, config.outer_iters, aux0)
     if return_stats:
         src_t = t.apply_points(src)
         res, matched = nearest_neighbor_matched(
@@ -254,19 +285,31 @@ def icp3d_planar(
     # adds a select per 128-chunk to the kernel's hot loop).
     payload_xy = dst[..., :2]
 
-    def outer(t):
+    def outer(t, aux):
+        prev_d2, prev_xy = aux
         src_t = transform_xy(t, src)  # (..., N, 3)
-        _, matched_xy = nearest_neighbor_matched(
+        # Queries move only in xy (z passes through), so |Δq| = |Δxy|;
+        # dist_prev + |Δq| bounds the new NN distance (db fixed) and
+        # seeds the kernel's prune threshold — bit-identical results.
+        move = jnp.linalg.norm(src_t[..., :2] - prev_xy, axis=-1)
+        qb = (jnp.sqrt(prev_d2) + move) ** 2
+        res, matched_xy = nearest_neighbor_matched(
             src_t, dst, dst_mask, payload=payload_xy,
             backend=config.nn_backend, tile=config.nn_dst_tile,
             method=config.nn_method, q_tile=config.nn_query_tile,
+            q_bound=qb,
         )
         dt = align2d.estimate_transform(
             src_t[..., :2], matched_xy, src_mask, config
         )
-        return dt.compose(t), _is_identity(dt)
+        return dt.compose(t), _is_identity(dt), (res.dist_sq,
+                                                 src_t[..., :2])
 
-    t, it = _outer_fixed_point(outer, t0, config.outer_iters)
+    aux0 = (
+        jnp.full(src.shape[:-1], jnp.inf, src.dtype),
+        src[..., :2],
+    )
+    t, it = _outer_fixed_point(outer, t0, config.outer_iters, aux0)
     if return_stats:
         src_t = transform_xy(t, src)
         res, matched_xy = nearest_neighbor_matched(

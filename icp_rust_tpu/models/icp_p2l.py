@@ -97,12 +97,18 @@ def icp_point_to_plane(
     c = jnp.where(n_valid & dst_mask, c, _C_INVALID)
     payload = jnp.concatenate([normals, c[..., None]], axis=-1)
 
-    def outer(t):
+    def outer(t, aux):
+        prev_d2, prev_q = aux
         src_t = t.apply_points(src)
-        _, pay = nearest_neighbor_matched(
+        # dist_prev + |Δq| bounds the new NN distance (db fixed across
+        # outer iterations) — seeds the prune threshold, bit-identical.
+        move = jnp.linalg.norm(src_t - prev_q, axis=-1)
+        qb = (jnp.sqrt(prev_d2) + move) ** 2
+        res, pay = nearest_neighbor_matched(
             src_t, dst, dst_mask, payload=payload,
             backend=config.nn_backend, tile=config.nn_dst_tile,
             method=config.nn_method, q_tile=config.nn_query_tile,
+            q_bound=qb,
         )
         matched_n = pay[..., 0:3]
         c_m = pay[..., 3]
@@ -114,8 +120,9 @@ def icp_point_to_plane(
         dt = align3d.estimate_transform_p2l(
             src_t, matched, matched_n, pair_mask, config
         )
-        return dt.compose(t), _is_identity(dt)
+        return dt.compose(t), _is_identity(dt), (res.dist_sq, src_t)
 
     # Exact fixed-point early exit, shared with the 2D drivers.
-    t, _ = _outer_fixed_point(outer, t0, config.outer_iters)
+    aux0 = (jnp.full(src.shape[:-1], jnp.inf, dtype), src)
+    t, _ = _outer_fixed_point(outer, t0, config.outer_iters, aux0)
     return RigidTransform3(t.rot, t.t * s)

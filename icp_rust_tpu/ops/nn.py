@@ -214,6 +214,7 @@ def nearest_neighbor_matched(
     tile: int = 2048,
     method: str = "direct",
     q_tile: int = 512,
+    q_bound: Array | None = None,
 ):
     """1-NN that also returns the winner's payload (default: the matched
     db point), replacing the caller's post-hoc take_along_axis gather —
@@ -224,7 +225,7 @@ def nearest_neighbor_matched(
 
         return nn_pallas.nn_pallas_matched(
             query, db, db_mask, payload=payload, q_tile=q_tile,
-            db_tile=tile,
+            db_tile=tile, q_bound=q_bound,
         )
     res = nn_xla(query, db, db_mask, tile=tile, method=method)
     if payload is None:

@@ -294,6 +294,7 @@ def nn_pallas_matched(
     db_tile: int = 2048,
     interpret: bool = False,
     prune: bool = True,
+    q_bound: Array | None = None,
 ):
     """Exact 1-NN returning (NNResult, matched_payload (..., Q, P)).
 
@@ -302,6 +303,9 @@ def nn_pallas_matched(
     features (normals, validity) can be appended by passing a (..., M, P)
     payload explicitly.  ``prune=True`` uses the rotated+bbox-pruned
     kernel (see _nn_pruned_kernel); exactness is preserved either way.
+    ``q_bound`` (..., Q): optional upper bound on each query's NN
+    distance² (e.g. last ICP iteration's distance plus query movement,
+    squared) — seeds the prune threshold, results are bit-identical.
     """
     *batch, q, d_dim = query.shape
     m = db.shape[-2]
@@ -328,18 +332,31 @@ def nn_pallas_matched(
     if prune and m_pad // db_tile < 3:
         prune = False
     if prune:
+        if q_bound is None:
+            qb_p = jnp.full(query_p.shape[:-1], jnp.inf, query.dtype)
+        else:
+            # Padded queries get -inf: their (discarded) results may
+            # then prune everything, which is free speed.
+            qb_p = jnp.pad(
+                q_bound.astype(query.dtype),
+                [(0, 0)] * (q_bound.ndim - 1) + [(0, q_pad - q)],
+                constant_values=-jnp.inf,
+            )
         fn = functools.partial(
             _nn_pruned_2d, d_dim=d_dim, q_tile=q_tile, db_tile=db_tile,
             interpret=interpret,
         )
+        for _ in batch:
+            fn = jax.vmap(fn)
+        dist, idx, pay = fn(query_p, dbf_cm, qb_p)
     else:
         fn = functools.partial(
             _nn_matched_2d, d_dim=d_dim, q_tile=q_tile, db_tile=db_tile,
             interpret=interpret,
         )
-    for _ in batch:
-        fn = jax.vmap(fn)
-    dist, idx, pay = fn(query_p, dbf_cm)
+        for _ in batch:
+            fn = jax.vmap(fn)
+        dist, idx, pay = fn(query_p, dbf_cm)
     dist = _trim_sentinel(dist)
     return (
         NNResult(index=idx[..., :q], dist_sq=dist[..., :q]),
@@ -347,8 +364,8 @@ def nn_pallas_matched(
     )
 
 
-def _nn_pruned_kernel(q_ref, db_ref, qbox_ref, bbox_ref, dist_ref, idx_ref,
-                      *rest, d_dim: int, f_dim: int, q_tile: int,
+def _nn_pruned_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref, dist_ref,
+                      idx_ref, *rest, d_dim: int, f_dim: int, q_tile: int,
                       db_tile: int, n_db_tiles: int):
     """Deferred-argmin sweep with DIAGONAL ZIG-ZAG + EXACT TILE PRUNING.
 
@@ -380,6 +397,14 @@ def _nn_pruned_kernel(q_ref, db_ref, qbox_ref, bbox_ref, dist_ref, idx_ref,
 
     With f_dim > 0 the winner's payload rides along exactly as in
     _nn_matched_kernel.
+
+    ``qb_ref`` (SMEM, per q-tile) is an optional UPPER BOUND on the
+    tile's worst true NN distance² (+inf when unknown): ICP's outer loop
+    knows last iteration's distances, and dist_new(q) <= dist_prev(q) +
+    |Δq| since the db is fixed — seeding the prune threshold with it
+    makes tiles prune from j==1 instead of waiting for the carry to
+    warm up.  Exactness: any candidate in any query's final tie set has
+    dist = true_min(q) <= min(carry-threshold, bound) — never pruned.
     """
     if f_dim:
         pay_ref, best_d, best_c, best_p, maxd = rest
@@ -398,7 +423,7 @@ def _nn_pruned_kernel(q_ref, db_ref, qbox_ref, bbox_ref, dist_ref, idx_ref,
         best_c[:] = jnp.zeros_like(best_c)
         if f_dim:
             best_p[:] = jnp.zeros_like(best_p)
-        maxd[0] = jnp.asarray(jnp.inf, maxd.dtype)
+        maxd[0] = qb_ref[i]
 
     # Scalar bbox-to-bbox lower bound (SMEM reads; runs on the scalar core
     # while the previous tile's vector work drains).
@@ -436,7 +461,9 @@ def _nn_pruned_kernel(q_ref, db_ref, qbox_ref, bbox_ref, dist_ref, idx_ref,
         # output: a skipped candidate has dist >= lb > maxd >= its
         # query's min, so it can change neither the epilogue's
         # min-over-lanes nor (strictness) its tie set.
-        maxd[0] = jnp.max(jnp.min(best_d[:], axis=1))
+        maxd[0] = jnp.minimum(
+            jnp.max(jnp.min(best_d[:], axis=1)), qb_ref[i]
+        )
 
     run = (j == 0) | (lb <= maxd[0])
 
@@ -508,13 +535,16 @@ def _query_boxes(query_p: Array, tile: int) -> Array:
 def _nn_pruned_2d(
     query: Array,
     dbf_cm: Array,
+    q_bound: Array,
     d_dim: int,
     q_tile: int = 256,
     db_tile: int = 512,
     interpret: bool = False,
 ):
     """query: (Q, D); dbf_cm: (F, M) rows = D coords (sentinel-padded)
-    then optional payload rows.  Returns (dist, idx[, payload])."""
+    then optional payload rows; q_bound: (Q,) upper bound on each
+    query's NN distance² (+inf = unknown; padded entries -inf so
+    all-padding tiles prune everything).  Returns (dist, idx[, payload])."""
     q = query.shape[0]
     f_total, m = dbf_cm.shape
     f_dim = f_total - d_dim
@@ -523,6 +553,7 @@ def _nn_pruned_2d(
 
     qbox = _query_boxes(query, q_tile)
     bbox = _tile_boxes(dbf_cm[:d_dim], db_tile)
+    qb_tile = jnp.max(q_bound.reshape(n_q_tiles, q_tile), axis=1)
 
     kernel = functools.partial(
         _nn_pruned_kernel, d_dim=d_dim, f_dim=f_dim, q_tile=q_tile,
@@ -569,12 +600,13 @@ def _nn_pruned_2d(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(query, dbf_cm, qbox, bbox)
+    )(query, dbf_cm, qbox, bbox, qb_tile)
     if f_dim:
         dist, idx, pay = out
         return dist[:, 0], idx[:, 0], pay
@@ -590,6 +622,7 @@ def nn_pallas(
     db_tile: int = 512,
     interpret: bool = False,
     prune: bool = True,
+    q_bound: Array | None = None,
 ) -> NNResult:
     """Exact 1-NN via the Pallas kernel; same contract as ops.nn.nn_xla.
 
@@ -621,18 +654,29 @@ def nn_pallas(
     if prune and m_pad // db_tile < 3:
         prune = False
     if prune:
+        if q_bound is None:
+            qb_p = jnp.full(query_p.shape[:-1], jnp.inf, query.dtype)
+        else:
+            qb_p = jnp.pad(
+                q_bound.astype(query.dtype),
+                [(0, 0)] * (q_bound.ndim - 1) + [(0, q_pad - q)],
+                constant_values=-jnp.inf,
+            )
         fn = functools.partial(
             _nn_pruned_2d, d_dim=d_dim, q_tile=q_tile, db_tile=db_tile,
             interpret=interpret,
         )
+        for _ in batch:
+            fn = jax.vmap(fn)
+        dist, idx = fn(query_p, db_cm, qb_p)
     else:
         fn = functools.partial(
             _nn_pallas_2d, q_tile=q_tile, db_tile=db_tile,
             interpret=interpret,
         )
-    for _ in batch:
-        fn = jax.vmap(fn)
-    dist, idx = fn(query_p, db_cm)
+        for _ in batch:
+            fn = jax.vmap(fn)
+        dist, idx = fn(query_p, db_cm)
     dist = _trim_sentinel(dist)
     return NNResult(
         index=idx[..., :q], dist_sq=dist[..., :q]

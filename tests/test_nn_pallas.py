@@ -43,3 +43,24 @@ def test_pallas_batched():
     want = nn_xla(query, db)
     np.testing.assert_array_equal(np.asarray(got.index),
                                   np.asarray(want.index))
+
+
+def test_pallas_prune_bound_bit_identical():
+    """A valid q_bound (prev dist + movement) seeds the prune threshold
+    without changing ANY output bit (incl. tie-breaks)."""
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.uniform(-3, 3, (512, 3)), jnp.float32)
+    db = jnp.asarray(rng.uniform(-3, 3, (2048, 3)), jnp.float32)
+    dm = jnp.asarray(rng.random(2048) > 0.1)
+    base = nn_pallas(q, db, dm, q_tile=128, db_tile=256, interpret=True)
+    # Simulate an ICP iteration: perturb queries, bound = old dist + move.
+    q2 = q + jnp.asarray(rng.normal(0, 0.05, q.shape), jnp.float32)
+    move = jnp.linalg.norm(q2 - q, axis=-1)
+    qb = (jnp.sqrt(base.dist_sq) + move) ** 2
+    got = nn_pallas(q2, db, dm, q_tile=128, db_tile=256, interpret=True,
+                    q_bound=qb)
+    want = nn_pallas(q2, db, dm, q_tile=128, db_tile=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    np.testing.assert_array_equal(np.asarray(got.dist_sq),
+                                  np.asarray(want.dist_sq))

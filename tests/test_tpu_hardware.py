@@ -297,3 +297,27 @@ def test_batched_whole_loop_kernel_on_device():
                                atol=5e-5)
     np.testing.assert_array_equal(np.asarray(rot[7]),
                                   np.eye(2, dtype=np.float32))
+
+
+def test_nn_prune_bound_bit_identical_on_device():
+    """Seeded prune threshold: outputs bit-identical on real Mosaic."""
+    from icp_rust_tpu.ops.nn import azimuth_order
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas
+
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.uniform(-3, 3, (1024, 3)), F32)
+    db = jnp.asarray(rng.uniform(-3, 3, (6144, 3)), F32)
+    dm = jnp.asarray(rng.random(6144) > 0.1)
+    q = q[azimuth_order(q)]
+    do = azimuth_order(db, dm)
+    db, dm = db[do], dm[do]
+    base = nn_pallas(q, db, dm, q_tile=256, db_tile=512)
+    q2 = q + jnp.asarray(rng.normal(0, 0.05, q.shape), F32)
+    move = jnp.linalg.norm(q2 - q, axis=-1)
+    qb = (jnp.sqrt(base.dist_sq) + move) ** 2
+    got = nn_pallas(q2, db, dm, q_tile=256, db_tile=512, q_bound=qb)
+    want = nn_pallas(q2, db, dm, q_tile=256, db_tile=512)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    np.testing.assert_array_equal(np.asarray(got.dist_sq),
+                                  np.asarray(want.dist_sq))
