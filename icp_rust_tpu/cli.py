@@ -190,7 +190,27 @@ def cmd_odometry3d(args):
     pts, mask = scan_io.pad_points(frames)
     log = MetricsLogger(args.metrics)
     log.start_frame()
-    _, path = run_odometry_device(pts, mask, cfg)
+    if args.p2l:
+        # SE(3) point-to-plane odometry (voxel-PCA normals) instead of
+        # the reference's planar 3D-match/SE(2)-solve flow.
+        import jax.numpy as jnp
+
+        from icp_rust_tpu.geometry.transform3d import RigidTransform3
+        from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
+
+        pts_d = jnp.asarray(pts, cfg.compute_dtype)
+        msk_d = jnp.asarray(mask)
+        t = RigidTransform3.identity(dtype=cfg.compute_dtype)
+        path = []
+        for i in range(1, pts_d.shape[0]):
+            t = icp_point_to_plane(
+                pts_d[0], pts_d[i], msk_d[0], msk_d[i], t, cfg,
+                normals_voxel_size=args.normals_voxel,
+            )
+            path.append(np.asarray(t.inverse().t, np.float64))
+        path = np.asarray(path)
+    else:
+        _, path = run_odometry_device(pts, mask, cfg)
     rec = log.end_frame(len(frames) - 1)
     summary = {
         "frames": len(frames) - 1,
@@ -285,6 +305,9 @@ def main(argv=None):
     p3 = sub.add_parser("odometry3d")
     p3.add_argument("--hdf5", required=True)
     p3.add_argument("--synthesize", type=int, default=None)
+    p3.add_argument("--p2l", action="store_true",
+                    help="SE(3) point-to-plane instead of planar SE(2)")
+    p3.add_argument("--normals-voxel", type=float, default=0.3)
     common(p3)
     p3.set_defaults(fn=cmd_odometry3d)
 
