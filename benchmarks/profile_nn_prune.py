@@ -68,8 +68,9 @@ def main():
         o = azimuth_order(p, m)
         return p[o][0, 0]
 
-    out = sort_cost(src, dm); np.asarray(out)
-    t0 = time.perf_counter(); np.asarray(sort_cost(src, dm))
+    sm = jnp.asarray(mask[0])
+    out = sort_cost(src, sm); np.asarray(out)
+    t0 = time.perf_counter(); np.asarray(sort_cost(src, sm))
     print(f"azimuth argsort+gather 28800 (incl ~27ms tunnel): "
           f"{(time.perf_counter()-t0)*1e3:.2f} ms")
 

@@ -58,7 +58,7 @@ def _plot(path_xy: np.ndarray, out: str, extra=None):
     print(f"wrote {out}")
 
 
-def _overlay_frames(frames, transforms, path, out_dir, every):
+def _overlay_frames(frames, transforms, path, out_dir, every, offset=0):
     """Per-frame scan overlay + pose axes + trajectory (the headless
     counterpart of reference examples/scan2d.rs:92-112, dumped as PNGs
     every ``every`` frames instead of a live window)."""
@@ -76,20 +76,21 @@ def _overlay_frames(frames, transforms, path, out_dir, every):
     base = frames[0]
     for i in range(0, len(transforms), every):
         t = transforms[i]
+        fi = offset + i  # frame index this transform belongs to, minus 1
         rot = np.asarray(t.rot, np.float64)
         tt = np.asarray(t.t, np.float64)
         # The driver maps first-frame -> current-frame; draw the current
         # scan back in the first frame: p0 = R^T (p - t).
-        scan = (np.asarray(frames[i + 1], np.float64) - tt) @ rot
+        scan = (np.asarray(frames[fi + 1], np.float64) - tt) @ rot
         fig, ax = plt.subplots(figsize=(6, 6))
         ax.plot(base[:, 0], base[:, 1], ".", ms=1, color="#999",
                 label="frame 0")
         ax.plot(scan[:, 0], scan[:, 1], ".", ms=1, color="#d33",
-                label=f"frame {i + 1}")
-        ax.plot(path[: i + 1, 0], path[: i + 1, 1], "-", color="#36c",
+                label=f"frame {fi + 1}")
+        ax.plot(path[: fi + 1, 0], path[: fi + 1, 1], "-", color="#36c",
                 lw=1, label="trajectory")
         # pose axes at the current sensor position (columns of R^T)
-        pos = path[i]
+        pos = path[fi]
         span = float(np.abs(base).max()) * 0.08
         ax.arrow(pos[0], pos[1], rot[0, 0] * span, rot[1, 0] * span,
                  color="#2a2", width=span * 0.02)
@@ -97,7 +98,7 @@ def _overlay_frames(frames, transforms, path, out_dir, every):
                  color="#a2a", width=span * 0.02)
         ax.set_aspect("equal")
         ax.legend(loc="upper right", fontsize=7)
-        fig.savefig(os.path.join(out_dir, f"frame_{i + 1:04d}.png"),
+        fig.savefig(os.path.join(out_dir, f"frame_{fi + 1:04d}.png"),
                     dpi=100)
         plt.close(fig)
     print(f"wrote overlays to {out_dir}", file=sys.stderr)
@@ -146,8 +147,11 @@ def cmd_odometry2d(args):
         )
     seconds = _time.perf_counter() - t0
     if args.overlay_dir and transforms is not None:
+        # After --resume, transforms only covers the frames computed in
+        # THIS run while path is complete: offset aligns them.
+        offset = len(path) - len(transforms)
         _overlay_frames(frames, transforms, path, args.overlay_dir,
-                        args.overlay_every)
+                        args.overlay_every, offset)
 
     summary = {
         "frames": len(frames) - 1,
@@ -193,22 +197,29 @@ def cmd_odometry3d(args):
     if args.p2l:
         # SE(3) point-to-plane odometry (voxel-PCA normals) instead of
         # the reference's planar 3D-match/SE(2)-solve flow.
+        import functools
+
+        import jax
         import jax.numpy as jnp
 
         from icp_rust_tpu.geometry.transform3d import RigidTransform3
         from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
 
+        # One jitted step reused across frames — an unjitted call here
+        # would re-trace the whole while_loop per frame (catastrophic
+        # with remote compilation, see models/odometry._odometry_step).
+        step = jax.jit(functools.partial(
+            icp_point_to_plane, config=cfg,
+            normals_voxel_size=args.normals_voxel,
+        ))
         pts_d = jnp.asarray(pts, cfg.compute_dtype)
         msk_d = jnp.asarray(mask)
         t = RigidTransform3.identity(dtype=cfg.compute_dtype)
         path = []
         for i in range(1, pts_d.shape[0]):
-            t = icp_point_to_plane(
-                pts_d[0], pts_d[i], msk_d[0], msk_d[i], t, cfg,
-                normals_voxel_size=args.normals_voxel,
-            )
-            path.append(np.asarray(t.inverse().t, np.float64))
-        path = np.asarray(path)
+            t = step(pts_d[0], pts_d[i], msk_d[0], msk_d[i], t)
+            path.append(t.inverse().t)
+        path = np.asarray(jnp.stack(path), dtype=np.float64)
     else:
         _, path = run_odometry_device(pts, mask, cfg)
     rec = log.end_frame(len(frames) - 1)

@@ -342,6 +342,9 @@ def _solve_delta_local(blocks, seg, consts, dof, axis_name, _unused):
     return delta[:p]
 
 
+_SCHUR_CACHE: dict = {}
+
+
 def optimize_schur(
     graph: pg.PoseGraph,
     iters: int = 20,
@@ -364,6 +367,21 @@ def optimize_schur(
     tcls, dof = pg._group(graph.poses)
     p = graph.poses.t.shape[0]
 
+    # The jitted program must be cached across calls: a per-call closure
+    # re-traces the whole GN scan every invocation (~seconds), which
+    # would dominate any benchmark.  Keyed on everything that shapes the
+    # traced program; jax.jit handles dtype/shape specialization within.
+    key = (
+        structure["p"], structure["skel"].tobytes(),
+        structure["seg_a"].tobytes(), structure["n_int"].tobytes(),
+        structure["loop_e"].tobytes(), structure["loop_ia"].tobytes(),
+        structure["loop_ib"].tobytes(),
+        iters, huber_k, kernel, delta_tol, mesh, seg_axis, dof,
+    )
+    cached = _SCHUR_CACHE.get(key)
+    if cached is not None:
+        return cached(graph)
+
     @functools.partial(jax.jit, static_argnames=())
     def run(graph):
         def gn_step(carry, _):
@@ -383,4 +401,5 @@ def optimize_schur(
         )
         return out
 
+    _SCHUR_CACHE[key] = run
     return run(graph)

@@ -166,20 +166,20 @@ class ICPStats(NamedTuple):
 
 def _stats_2d(src_t, matched, mask, config, dist_sq, it):
     """Final-transform metrics from the last correspondence set."""
-    from icp_rust_tpu.ops import huber, robust
+    from icp_rust_tpu.ops import huber
 
     s = config.point_scale
     maskf = mask.astype(src_t.dtype)
     nf = jnp.maximum(jnp.sum(maskf, axis=-1), 1.0)
     r = src_t[..., :2] - matched[..., :2]
-    sigma, _ = robust.calc_stddevs(r, mask)
     k = config.huber_k / s
     err = jnp.sum(
         huber.rho(jnp.sum(r * r, axis=-1), k) * maskf, axis=-1
     )
-    inl = jnp.all(
-        jnp.abs(r) <= k * jnp.maximum(sigma, 0.0)[..., None, :], axis=-1
-    )
+    # IRLS weight is drho(r_ij^2, k) == 1 iff |r_ij| <= k per dimension
+    # (align2d.weighted_gauss_newton_update) — sigma enters the solve as
+    # a separate scale, not the weight.
+    inl = jnp.all(jnp.abs(r) <= k, axis=-1)
     mean_nn = jnp.sum(
         jnp.sqrt(jnp.maximum(dist_sq, 0.0)) * maskf, axis=-1
     ) / nf * s
@@ -222,9 +222,12 @@ def icp2d(
         src_t = t.apply_points(src)
         # Valid NN upper bound: the db is fixed across outer iterations,
         # so dist_new(q) <= dist_prev(q) + |Δq| — seeds the kernel's
-        # prune threshold (results stay bit-identical).
+        # prune threshold (results stay bit-identical).  The sqrt/square
+        # round trip can round 1-3 ulp BELOW prev_d2; inflate by 8 eps
+        # so the bound stays a true upper bound in floating point.
         move = jnp.linalg.norm(src_t - prev_q, axis=-1)
-        qb = (jnp.sqrt(prev_d2) + move) ** 2
+        ulp = 1.0 + 8.0 * jnp.finfo(src.dtype).eps
+        qb = (jnp.sqrt(prev_d2) + move) ** 2 * ulp
         res, matched = nearest_neighbor_matched(
             src_t, dst, dst_mask, backend=config.nn_backend,
             tile=config.nn_dst_tile, method=config.nn_method,
@@ -291,8 +294,10 @@ def icp3d_planar(
         # Queries move only in xy (z passes through), so |Δq| = |Δxy|;
         # dist_prev + |Δq| bounds the new NN distance (db fixed) and
         # seeds the kernel's prune threshold — bit-identical results.
+        # 8-eps inflation keeps it an upper bound under f32 rounding.
         move = jnp.linalg.norm(src_t[..., :2] - prev_xy, axis=-1)
-        qb = (jnp.sqrt(prev_d2) + move) ** 2
+        ulp = 1.0 + 8.0 * jnp.finfo(src.dtype).eps
+        qb = (jnp.sqrt(prev_d2) + move) ** 2 * ulp
         res, matched_xy = nearest_neighbor_matched(
             src_t, dst, dst_mask, payload=payload_xy,
             backend=config.nn_backend, tile=config.nn_dst_tile,

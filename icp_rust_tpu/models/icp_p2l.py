@@ -27,6 +27,34 @@ from icp_rust_tpu.ops.nn import nearest_neighbor_matched
 from icp_rust_tpu.ops.normals import estimate_normals, estimate_normals_voxel
 
 
+# Plane-offset payload protocol shared with the sharded driver
+# (parallel/sharded.dp_sp_icp_p2l): the NN carry holds [n (3), c = n.q]
+# with invalidity folded into c as an unreachable sentinel (|c| <= |q|
+# <= scene size after point_scale, so 1e18 is unreachable for data).
+_C_INVALID = 3e19
+_C_VALID_MAX = 1e18
+
+
+def build_p2l_payload(dst, normals, n_valid, dst_mask, dtype):
+    """[normal (3), plane offset c (1)] rows; invalid rows get the
+    sentinel c."""
+    c = jnp.sum(dst * normals, axis=-1)
+    c = jnp.where(n_valid & dst_mask, c, jnp.asarray(_C_INVALID, dtype))
+    return jnp.concatenate([normals, c[..., None]], axis=-1)
+
+
+def decode_p2l_payload(pay):
+    """(matched_n, matched plane foot point d = c n, matched_ok).
+
+    n.(p - d) = n.p - c for unit n — the same residual as against the
+    true matched point."""
+    matched_n = pay[..., 0:3]
+    c_m = pay[..., 3]
+    matched_ok = jnp.abs(c_m) < _C_VALID_MAX
+    matched = matched_n * jnp.where(matched_ok, c_m, 0.0)[..., None]
+    return matched_n, matched, matched_ok
+
+
 def icp_point_to_plane(
     src: Array,
     dst: Array,
@@ -89,33 +117,25 @@ def icp_point_to_plane(
     # plane offset c = n . q, so the carry is [n (3), c (1)] — 4 lanes
     # instead of the naive [q, n, valid] 7 (each payload lane adds a
     # select per 128-chunk to the kernel's hot loop; 7 lanes measured
-    # ~3x the pruned sweep, 4 lanes restore most of it).  Invalidity is
-    # folded into c as an unreachable sentinel (|c| <= |q| <= scene
-    # size after point_scale).
-    _C_INVALID = jnp.asarray(3e19, dtype)
-    c = jnp.sum(dst * normals, axis=-1)
-    c = jnp.where(n_valid & dst_mask, c, _C_INVALID)
-    payload = jnp.concatenate([normals, c[..., None]], axis=-1)
+    # ~3x the pruned sweep, 4 lanes restore most of it).
+    payload = build_p2l_payload(dst, normals, n_valid, dst_mask, dtype)
 
     def outer(t, aux):
         prev_d2, prev_q = aux
         src_t = t.apply_points(src)
         # dist_prev + |Δq| bounds the new NN distance (db fixed across
         # outer iterations) — seeds the prune threshold, bit-identical.
+        # 8-eps inflation keeps it an upper bound under f32 rounding.
         move = jnp.linalg.norm(src_t - prev_q, axis=-1)
-        qb = (jnp.sqrt(prev_d2) + move) ** 2
+        ulp = 1.0 + 8.0 * jnp.finfo(dtype).eps
+        qb = (jnp.sqrt(prev_d2) + move) ** 2 * ulp
         res, pay = nearest_neighbor_matched(
             src_t, dst, dst_mask, payload=payload,
             backend=config.nn_backend, tile=config.nn_dst_tile,
             method=config.nn_method, q_tile=config.nn_query_tile,
             q_bound=qb,
         )
-        matched_n = pay[..., 0:3]
-        c_m = pay[..., 3]
-        matched_ok = jnp.abs(c_m) < 1e18
-        # Plane foot point d = c n satisfies n.(p - d) = n.p - c, the
-        # same residual as against the true matched point.
-        matched = matched_n * jnp.where(matched_ok, c_m, 0.0)[..., None]
+        matched_n, matched, matched_ok = decode_p2l_payload(pay)
         pair_mask = src_mask & matched_ok
         dt = align3d.estimate_transform_p2l(
             src_t, matched, matched_n, pair_mask, config

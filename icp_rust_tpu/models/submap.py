@@ -11,9 +11,10 @@ Two map representations:
 - **Fused (default)**: a persistent voxel HASH map (ops/voxel_hash.py) —
   pure gather/scatter updates, no argsort — so the WHOLE sequence runs as
   one ``lax.scan`` program: a single device dispatch instead of one per
-  frame (~27 ms of tunnel latency each on the remote TPU).  The map's
-  slot order is hash-random, so the ICP inside the scan body runs the
-  plain (unsorted, unpruned) NN sweep; the dispatch savings dominate.
+  frame (~27 ms of tunnel latency each on the remote TPU).  Each frame
+  re-sorts the map view by azimuth around the sensor so the NN kernel's
+  bbox pruning stays effective despite the hash-random slot order, and
+  a constant-velocity warm start cuts the outer iterations.
 - **Re-voxelize** (``fused=False``): the original per-frame loop that
   re-voxelizes map+scan with the sort-based ``ops.voxel`` pass — kept as
   the semantics reference (its centroids are unit-weight per merge
@@ -192,8 +193,11 @@ def _run_fused(frames, masks, config, voxel_size, capacity, probes):
     dtype = config.compute_dtype
     pts = jnp.asarray(frames, dtype)
     msk = jnp.asarray(masks)
-    # No azimuth sort inside the scan body: the hash map's slot order is
-    # random anyway (bbox pruning cannot bite) — take the plain sweep.
+    # nn_sort="none" suppresses the DRIVER's per-call azimuth sort only:
+    # the scan body itself re-sorts the map view around the sensor every
+    # frame (see _fused_scan) and the queries are pre-sorted once, so
+    # the pruned kernel still gets spatially-coherent layouts — the
+    # driver sorting again on top would be pure redundant work.
     cfg = dataclasses.replace(config, nn_sort="none")
     rots, ts, drops = _fused_scan(pts, msk, cfg, float(voxel_size),
                                   int(capacity), int(probes))

@@ -284,7 +284,7 @@ def estimate_transform(
 
     if use_pallas and src.ndim == 3:
         # Batched on TPU: whole loop in one launch, desynchronized per
-        # 8-pair grid block — the lockstep per-iteration loop paid the
+        # pair-block grid step (align2d_pallas._PAIR_BLK) — the lockstep per-iteration loop paid the
         # slowest pair's ~38 iterations for all pairs against a p90 of
         # ~10 (align2d_pallas._inner_loop_batched_kernel).
         from icp_rust_tpu.ops import align2d_pallas

@@ -662,8 +662,8 @@ def estimate_transform_pallas(
 # pays the slowest pair's iteration count for every pair PLUS ~20 us of
 # per-iteration launch/bookkeeping: at 209 real scan pairs that measured
 # ~38 max iterations per outer ICP pass against a p90 of ~10.  Here the
-# grid walks 8-pair blocks (one full sublane group — a single pair would
-# fill 6% of a vreg) and each block loops IN-KERNEL only until ITS pairs
+# grid walks _PAIR_BLK-pair blocks (full sublane groups — a single pair
+# would fill 6% of a vreg) and each block loops IN-KERNEL only until ITS pairs
 # are done.  Consecutive scan pairs converge similarly, so blocks are
 # homogeneous and the batch desynchronizes at block granularity with no
 # per-iteration launches at all.  Per-pair semantics are IDENTICAL to the
@@ -671,8 +671,9 @@ def estimate_transform_pallas(
 # ---------------------------------------------------------------------------
 
 _PAIR_BLK = 64  # per-iteration cost ~ a + b*B with a ~ 5us fixed issue
-                # overhead: 8-pair blocks waste issue slots, 209 lockstep
-                # pays the global max iters; 32 measured best.
+                # overhead: 8-pair blocks waste issue slots (+3% only),
+                # 209 lockstep pays the global max iters; measured on the
+                # 209x768 bench: B=32 -> 3251 pairs/s, B=64 -> 3454.
 
 
 def _inner_loop_batched_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref,

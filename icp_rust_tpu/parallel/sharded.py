@@ -274,6 +274,10 @@ def dp_sp_icp_p2l(
     (ops/align3d.py axis_name path).
     """
     from icp_rust_tpu.geometry.transform3d import RigidTransform3
+    from icp_rust_tpu.models.icp_p2l import (
+        build_p2l_payload,
+        decode_p2l_payload,
+    )
     from icp_rust_tpu.ops import align3d
     from icp_rust_tpu.ops.normals import estimate_normals_voxel
 
@@ -289,9 +293,8 @@ def dp_sp_icp_p2l(
         for _ in range(dst_s.ndim - 2):  # local pair axis -> vmap
             fn_n = jax.vmap(fn_n, in_axes=(0, 0, None))
         normals, n_valid = fn_n(dst_s, dmask_l, normals_voxel_size / s)
-        c = jnp.sum(dst_s * normals, axis=-1)
-        c = jnp.where(n_valid & dmask_l, c, jnp.asarray(3e19, dtype))
-        payload = jnp.concatenate([normals, c[..., None]], axis=-1)
+        payload = build_p2l_payload(dst_s, normals, n_valid, dmask_l,
+                                    dtype)
 
         def outer(t):
             src_t = t.apply_points(src_s)
@@ -299,10 +302,7 @@ def dp_sp_icp_p2l(
                 src_t, dst_s, dmask_l, point_axis,
                 tile=config.nn_dst_tile, payload=payload,
             )
-            matched_n = pay[..., 0:3]
-            c_m = pay[..., 3]
-            matched_ok = jnp.abs(c_m) < 1e18
-            matched = matched_n * jnp.where(matched_ok, c_m, 0.0)[..., None]
+            matched_n, matched, matched_ok = decode_p2l_payload(pay)
             pair_mask = smask_l & matched_ok
             dt = align3d.estimate_transform_p2l(
                 src_t, matched, matched_n, pair_mask, config,
