@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from icp_rust_tpu.ops import linalg
 from icp_rust_tpu.ops.nn import _pad_axis
 
 
@@ -106,8 +107,7 @@ def _pca_normals_from_knn(points, mask, dists, idx, orient_to):
     mean = jnp.sum(nbrs * w, axis=-2) / cnt
     cent = (nbrs - mean[..., None, :]) * w
     cov = jnp.einsum("...ki,...kj->...ij", cent, cent) / cnt[..., None]
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
-    n = evecs[..., :, 0]  # smallest eigenvector
+    evals, n = linalg.sym3x3_eigh_smallest(cov)  # closed form, no eigh
     if orient_to is None:
         orient_to = jnp.zeros(points.shape[-1], dtype=points.dtype)
     to_sensor = orient_to - points
@@ -191,8 +191,9 @@ def estimate_normals_voxel(
         jnp.stack([xy, yy, yz], -1),
         jnp.stack([xz, yz, zz], -1),
     ], -2)  # (capacity, 3, 3)
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
-    vox_n = evecs[..., :, 0]  # (capacity, 3) smallest eigenvector
+    # Closed-form symmetric 3x3 (jnp.linalg.eigh is a custom call that
+    # measured ~13 ms for this capacity on TPU — 40% of a p2l frame).
+    evals, vox_n = linalg.sym3x3_eigh_smallest(cov)
     # Planarity gate: a plane has two spread directions (lam1, lam2 > 0);
     # a collinear neighborhood has lam1 ~ lam2-relative zero and its
     # smallest eigenvector is arbitrary within the normal plane.
