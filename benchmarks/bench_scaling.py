@@ -90,6 +90,48 @@ def main():
             "backend": jax.default_backend(),
         }))
 
+    # The HEADLINE workload (3D match / SE(2)-on-xy solve) over dp x sp:
+    # point axis sharded (ring NN + psum GN) with pairs data-parallel.
+    from icp_rust_tpu.parallel.sharded import dp_sp_icp3d_planar
+
+    rng = np.random.default_rng(0)
+    b3, n3 = 8, 1024
+    src3 = jnp.asarray(rng.uniform(-3, 3, (b3, n3, 3)), cfg.compute_dtype)
+    dst3 = src3.at[..., :2].add(
+        jnp.asarray([0.05, -0.02], cfg.compute_dtype))
+    m3 = jnp.ones((b3, n3), bool)
+    t03 = RigidTransform2.identity((b3,), cfg.compute_dtype)
+    cfg3 = ICPConfig(
+        compute_dtype=jnp.float32, det_rel_eps=1e-9, outer_iters=5,
+        nn_dst_tile=256,
+    )
+    base = None
+    for s in sizes:
+        dp = 2 if s >= 2 else 1
+        sp = s // dp
+        mesh = make_mesh(("dp", "sp"), (dp, sp),
+                         devices=jax.devices()[:s])
+        fn = jax.jit(lambda *a, m=mesh: dp_sp_icp3d_planar(
+            *a, config=cfg3, mesh=m))
+        out = fn(src3, dst3, m3, m3, t03)
+        jax.block_until_ready(out.t)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(src3, dst3, m3, m3, t03)
+        jax.block_until_ready(out.t)
+        dt = (time.perf_counter() - t0) / 3
+        pps = b3 / dt
+        if base is None:
+            base = pps
+        eff = pps / (base * s)
+        print(json.dumps({
+            "metric": "dpsp_scaling_3d_pairs_per_s",
+            "mesh": f"dp={dp},sp={sp}",
+            "value": round(pps, 2),
+            "efficiency_vs_linear": round(eff, 3),
+            "backend": jax.default_backend(),
+        }))
+
 
 if __name__ == "__main__":
     main()
