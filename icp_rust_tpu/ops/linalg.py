@@ -107,13 +107,21 @@ def sym3x3_eigh_smallest(cov: Array):
     p = jnp.sqrt(jnp.maximum(p2, 0.0))
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     safe_p = jnp.maximum(p, tiny)
+    del p2  # guarded via p3 below
     # det((A - qI) / p) / 2
     detb = (
         b00 * (b11 * b22 - a12 * a12)
         - a01 * (a01 * b22 - a12 * a02)
         + a02 * (a01 * a12 - b11 * a02)
     )
-    r = jnp.clip(detb / (2.0 * safe_p**3), -1.0, 1.0)
+    # p == 0 means A = qI (isotropic/zero): detb/(2 p^3) is 0/0 = NaN
+    # there; any r gives the right answer since all eigenvalues equal q.
+    p3 = safe_p**3
+    iso = p3 <= tiny
+    r = jnp.clip(
+        jnp.where(iso, 1.0, detb) / jnp.where(iso, 1.0, 2.0 * p3),
+        -1.0, 1.0,
+    )
     phi = jnp.arccos(r) / 3.0
     two_pi_3 = jnp.asarray(2.0 * jnp.pi / 3.0, dtype)
     lam2 = q + 2.0 * p * jnp.cos(phi)

@@ -17,6 +17,13 @@ from jax import Array
 from icp_rust_tpu.ops import linalg
 from icp_rust_tpu.ops.nn import _pad_axis
 
+# Planarity gate threshold on the mid/largest eigenvalue ratio.  The
+# closed-form f32 eigensolver's error floor is ~2e-4 relative to lam2
+# (measured on rank-1 covariances), so the gate must sit well above it:
+# at 1e-4, 12% of exactly-collinear f32 voxels passed as "planar".
+# Real planes have lam1/lam2 = O(1), so 2e-3 costs nothing.
+_PLANARITY_EPS = 2e-3
+
 
 def knn_xla(
     query: Array,
@@ -115,7 +122,13 @@ def _pca_normals_from_knn(points, mask, dists, idx, orient_to):
         jnp.sum(n * to_sensor, axis=-1, keepdims=True)
     )
     n = n * jnp.where(sign == 0, 1.0, sign)
-    valid = mask & (jnp.sum(finite, axis=-1) >= 3)
+    # Degenerate (collinear / duplicate-point) neighborhoods have no
+    # well-defined plane: gate on the eigenvalue ratio like the voxel
+    # path (the closed-form solver's contract requires it).
+    planar = evals[..., 1] > _PLANARITY_EPS * jnp.maximum(
+        evals[..., 2], jnp.finfo(points.dtype).tiny
+    )
+    valid = mask & (jnp.sum(finite, axis=-1) >= 3) & planar
     return n, valid
 
 
@@ -126,7 +139,7 @@ def estimate_normals_voxel(
     capacity: int = 1 << 15,
     orient_to: Array | None = None,
     min_points: int = 3,
-    planarity_eps: float = 1e-4,
+    planarity_eps: float = _PLANARITY_EPS,
 ):
     """Per-point unit normals from per-VOXEL covariance PCA — the
     production-fast path (the VGICP formulation: one sorted segment-sum
@@ -158,9 +171,17 @@ def estimate_normals_voxel(
         cell_id = cell_id * 1024 + cells[:, kk]
     cell_id = jnp.where(mask & in_box, cell_id, big)
 
+    # Moments accumulate in PER-VOXEL LOCAL coordinates: with global
+    # coordinates, E[x^2] - mean^2 at |x| ~ 20 m and voxel-scale spread
+    # cancels catastrophically in f32 (~1% covariance noise — enough to
+    # defeat the planarity gate on collinear data).  The covariance is
+    # translation-invariant, so subtracting each point's own cell corner
+    # changes nothing mathematically and keeps |coords| <= voxel_size.
+    local = points - (lo + cells.astype(dtype) * voxel_size)
+
     order = jnp.argsort(cell_id)
     sid = cell_id[order]
-    spts = points[order]
+    spts = local[order]
     svalid = sid != big
     first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
     first = first & svalid

@@ -191,3 +191,64 @@ def test_det_rel_eps_guards_near_singular():
     _, ok_exact = linalg.inverse3x3(m, det_rel_eps=0.0)
     _, ok_eps = linalg.inverse3x3(m, det_rel_eps=1e-6)
     assert bool(ok_exact) and not bool(ok_eps)
+
+
+def test_sym3x3_eigh_smallest_matches_eigh():
+    """Closed-form 3x3 eigensolver vs jnp.linalg.eigh on PSD matrices."""
+    import numpy as np
+
+    from icp_rust_tpu.ops.linalg import sym3x3_eigh_smallest
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(5000, 3, 3))
+    cov = jnp.asarray(np.einsum("nij,nkj->nik", a, a))
+    ev, v0 = sym3x3_eigh_smallest(cov)
+    ev_ref, evec_ref = jnp.linalg.eigh(cov)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(ev_ref),
+                               rtol=1e-9, atol=1e-12)
+    dot = jnp.abs(jnp.sum(v0 * evec_ref[..., :, 0], axis=-1))
+    sep = (ev_ref[:, 1] - ev_ref[:, 0]) > 1e-6 * ev_ref[:, 2]
+    assert float(jnp.min(jnp.where(sep, dot, 1.0))) > 1.0 - 1e-8
+
+
+def test_sym3x3_eigh_smallest_degenerate_inputs_finite():
+    """Isotropic / zero / rank-1 covariances: finite evals, no NaN."""
+    import numpy as np
+
+    from icp_rust_tpu.ops.linalg import sym3x3_eigh_smallest
+
+    eye = jnp.eye(3)
+    u = jnp.asarray([1.0, 2.0, -0.5])
+    rank1 = jnp.outer(u, u)
+    covs = jnp.stack([jnp.zeros((3, 3)), eye, 3.7 * eye, rank1])
+    ev, v0 = sym3x3_eigh_smallest(covs)
+    assert bool(jnp.all(jnp.isfinite(ev))), ev
+    assert bool(jnp.all(jnp.isfinite(v0)))
+    np.testing.assert_allclose(np.asarray(ev[1]), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ev[2]), 3.7, atol=1e-12)
+    # rank-1: eigenvalues (0, 0, |u|^2)
+    np.testing.assert_allclose(np.asarray(ev[3, :2]), 0.0, atol=1e-9)
+
+
+def test_voxel_normals_reject_collinear_f32():
+    """Exactly collinear voxels must NOT produce 'valid' normals in f32
+    (the closed-form solver's f32 error floor sits near the old 1e-4
+    planarity threshold — regression test for the raised gate)."""
+    import numpy as np
+
+    from icp_rust_tpu.ops.normals import estimate_normals_voxel
+
+    rng = np.random.default_rng(1)
+    dirs = rng.normal(size=(64, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # 8 points per line segment, all inside one 0.5-voxel
+    t = np.linspace(-0.2, 0.2, 8)[None, :, None]
+    pts = (dirs[:, None, :] * t).reshape(-1, 3).astype(np.float32)
+    # separate the lines so they land in different voxels
+    offs = rng.uniform(-20, 20, (64, 1, 3)).astype(np.float32)
+    pts = (dirs[:, None, :] * t + offs).reshape(-1, 3).astype(np.float32)
+    n, valid = estimate_normals_voxel(
+        jnp.asarray(pts), jnp.ones(len(pts), bool), 0.5
+    )
+    frac_valid = float(jnp.mean(valid.astype(jnp.float32)))
+    assert frac_valid < 0.05, frac_valid
