@@ -66,29 +66,39 @@ def main():
     dm = jnp.asarray(mask[1:][:b_total])
     t0s = RigidTransform2.identity((b_total,), cfg.compute_dtype)
 
-    base = None
     sizes = [s for s in (1, 2, 4, 8, 16) if s <= n_dev]
-    for s in sizes:
-        mesh = make_mesh(("dp", "sp"), (s, 1), devices=jax.devices()[:s])
-        fn = jax.jit(lambda *a, m=mesh: dp_sp_icp2d(*a, config=cfg, mesh=m))
-        out = fn(src, dst, sm, dm, t0s)
-        jax.block_until_ready(out.t)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = fn(src, dst, sm, dm, t0s)
-        jax.block_until_ready(out.t)
-        dt = (time.perf_counter() - t0) / 3
-        pps = b_total / dt
-        if base is None:
-            base = pps
-        eff = pps / (base * s)
-        print(json.dumps({
-            "metric": "dp_scaling_pairs_per_s",
-            "mesh": f"dp={s}",
-            "value": round(pps, 2),
-            "efficiency_vs_linear": round(eff, 3),
-            "backend": jax.default_backend(),
-        }))
+
+    def sweep(metric, mesh_shape_for, make_fn, args, batch):
+        base = None
+        for s in sizes:
+            dp, sp = mesh_shape_for(s)
+            mesh = make_mesh(("dp", "sp"), (dp, sp),
+                             devices=jax.devices()[:s])
+            fn = make_fn(mesh)
+            out = fn(*args)
+            jax.block_until_ready(out.t)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn(*args)
+            jax.block_until_ready(out.t)
+            dt = (time.perf_counter() - t0) / 3
+            pps = batch / dt
+            if base is None:
+                base = pps
+            print(json.dumps({
+                "metric": metric,
+                "mesh": f"dp={dp},sp={sp}",
+                "value": round(pps, 2),
+                "efficiency_vs_linear": round(pps / (base * s), 3),
+                "backend": jax.default_backend(),
+            }))
+
+    sweep(
+        "dp_scaling_pairs_per_s", lambda s: (s, 1),
+        lambda mesh: jax.jit(
+            lambda *a, m=mesh: dp_sp_icp2d(*a, config=cfg, mesh=m)),
+        (src, dst, sm, dm, t0s), b_total,
+    )
 
     # The HEADLINE workload (3D match / SE(2)-on-xy solve) over dp x sp:
     # point axis sharded (ring NN + psum GN) with pairs data-parallel.
@@ -105,32 +115,14 @@ def main():
         compute_dtype=jnp.float32, det_rel_eps=1e-9, outer_iters=5,
         nn_dst_tile=256,
     )
-    base = None
-    for s in sizes:
-        dp = 2 if s >= 2 else 1
-        sp = s // dp
-        mesh = make_mesh(("dp", "sp"), (dp, sp),
-                         devices=jax.devices()[:s])
-        fn = jax.jit(lambda *a, m=mesh: dp_sp_icp3d_planar(
-            *a, config=cfg3, mesh=m))
-        out = fn(src3, dst3, m3, m3, t03)
-        jax.block_until_ready(out.t)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = fn(src3, dst3, m3, m3, t03)
-        jax.block_until_ready(out.t)
-        dt = (time.perf_counter() - t0) / 3
-        pps = b3 / dt
-        if base is None:
-            base = pps
-        eff = pps / (base * s)
-        print(json.dumps({
-            "metric": "dpsp_scaling_3d_pairs_per_s",
-            "mesh": f"dp={dp},sp={sp}",
-            "value": round(pps, 2),
-            "efficiency_vs_linear": round(eff, 3),
-            "backend": jax.default_backend(),
-        }))
+    sweep(
+        "dpsp_scaling_3d_pairs_per_s",
+        lambda s: (2, s // 2) if s >= 2 else (1, 1),
+        lambda mesh: jax.jit(
+            lambda *a, m=mesh: dp_sp_icp3d_planar(
+                *a, config=cfg3, mesh=m)),
+        (src3, dst3, m3, m3, t03), b3,
+    )
 
 
 if __name__ == "__main__":
