@@ -66,7 +66,8 @@ def icp_point_to_plane(
     dst_normals: Array | None = None,
     normals_method: str = "voxel",
     normals_voxel_size: float = 0.3,
-) -> RigidTransform3:
+    return_stats: bool = False,
+):
     """src/dst: (..., N|M, 3).  Returns the SE(3) transform taking src to
     dst.  Pass ``dst_normals`` to reuse precomputed normals (e.g. for a
     persistent submap).
@@ -144,5 +145,35 @@ def icp_point_to_plane(
 
     # Exact fixed-point early exit, shared with the 2D drivers.
     aux0 = (jnp.full(src.shape[:-1], jnp.inf, dtype), src)
-    t, _ = _outer_fixed_point(outer, t0, config.outer_iters, aux0)
+    t, it = _outer_fixed_point(outer, t0, config.outer_iters, aux0)
+    if return_stats:
+        from icp_rust_tpu.models.icp2d import ICPStats
+        from icp_rust_tpu.ops import huber
+
+        src_t = t.apply_points(src)
+        res, pay = nearest_neighbor_matched(
+            src_t, dst, dst_mask, payload=payload,
+            backend=config.nn_backend, tile=config.nn_dst_tile,
+            method=config.nn_method, q_tile=config.nn_query_tile,
+        )
+        matched_n, matched, matched_ok = decode_p2l_payload(pay)
+        pair_mask = src_mask & matched_ok
+        maskf = pair_mask.astype(dtype)
+        nf = jnp.maximum(jnp.sum(maskf, axis=-1), 1.0)
+        r = align3d.plane_residuals(
+            RigidTransform3.identity(src.shape[:-2], dtype), src_t,
+            matched, matched_n,
+        )
+        k = config.huber_k / s
+        stats = ICPStats(
+            outer_iters=jnp.broadcast_to(it, nf.shape).astype(jnp.int32),
+            huber_error=jnp.sum(huber.rho(r * r, k) * maskf, axis=-1),
+            mean_nn_dist=jnp.sum(
+                jnp.sqrt(jnp.maximum(res.dist_sq, 0.0)) * maskf, axis=-1
+            ) / nf * s,
+            inlier_fraction=jnp.sum(
+                (jnp.abs(r) <= k) * maskf, axis=-1
+            ) / nf,
+        )
+        return RigidTransform3(t.rot, t.t * s), stats
     return RigidTransform3(t.rot, t.t * s)

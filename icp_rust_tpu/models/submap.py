@@ -84,17 +84,23 @@ def run_submap_odometry(
     capacity: int = 16384,
     fused: bool = True,
     probes: int = 8,
-) -> Tuple[List[RigidTransform2], np.ndarray]:
+    with_metrics: bool = False,
+):
     """frames: (F, N, D) padded; masks: (F, N).  Frame 0 seeds the map.
     Returns (transforms scan->map per frame, trajectory (F-1, 2) of sensor
     positions in the map frame).
 
     ``fused=True`` (default) requires power-of-two ``capacity`` and runs
-    the whole sequence as one compiled scan over the persistent hash map.
+    the whole sequence as one compiled scan over the persistent hash map;
+    ``with_metrics`` (fused only) appends per-frame ICPStats arrays
+    (outer iterations, Huber error, mean NN distance, inlier fraction)
+    to the return.
     """
     if fused:
         return _run_fused(frames, masks, config, voxel_size, capacity,
-                          probes)
+                          probes, with_metrics)
+    if with_metrics:
+        raise ValueError("with_metrics requires the fused runner")
     dtype = config.compute_dtype
     pts = jnp.asarray(frames, dtype)
     msk = jnp.asarray(masks)
@@ -125,10 +131,12 @@ def run_submap_odometry(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "voxel_size", "capacity", "probes")
+    jax.jit,
+    static_argnames=("config", "voxel_size", "capacity", "probes",
+                     "with_metrics"),
 )
 def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
-                capacity: int, probes: int):
+                capacity: int, probes: int, with_metrics: bool = False):
     """Module-level jit (NOT a per-call closure: retracing+relowering this
     program costs ~9 s per call — it dwarfed the device time until the
     cache was made shared)."""
@@ -172,7 +180,11 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
         order = jnp.argsort(jnp.where(map_mask, az, jnp.inf))
         map_pts = map_pts[order]
         map_mask = map_mask[order]
-        t_new = driver(scan, map_pts, smask, map_mask, t_warm, config)
+        if with_metrics:
+            t_new, stats = driver(scan, map_pts, smask, map_mask, t_warm,
+                                  config, return_stats=True)
+        else:
+            t_new = driver(scan, map_pts, smask, map_mask, t_warm, config)
         t_inv = t.inverse()
         rel_new = RigidTransform2(
             jnp.einsum("ij,jk->ik", t_inv.rot, t_new.rot),
@@ -180,16 +192,24 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
         )
         scan_in_map = _apply_planar(t_new, scan, dtype)
         m, d = vh.insert(m, scan_in_map, smask, voxel_size, probes)
-        return (t_new, rel_new, m), (t_new.rot, t_new.t, d)
+        out = (t_new.rot, t_new.t, d)
+        if with_metrics:
+            out = out + (stats,)
+        return (t_new, rel_new, m), out
 
     rel0 = RigidTransform2.identity(dtype=dtype)
-    (_, _, m), (rots, ts, drops) = jax.lax.scan(
+    (_, _, m), outs = jax.lax.scan(
         step, (t0, rel0, m), (pts[1:], msk[1:])
     )
+    if with_metrics:
+        rots, ts, drops, stats = outs
+        return rots, ts, jnp.concatenate([d0[None], drops]), stats
+    rots, ts, drops = outs
     return rots, ts, jnp.concatenate([d0[None], drops])
 
 
-def _run_fused(frames, masks, config, voxel_size, capacity, probes):
+def _run_fused(frames, masks, config, voxel_size, capacity, probes,
+               with_metrics=False):
     dtype = config.compute_dtype
     pts = jnp.asarray(frames, dtype)
     msk = jnp.asarray(masks)
@@ -199,8 +219,13 @@ def _run_fused(frames, masks, config, voxel_size, capacity, probes):
     # the pruned kernel still gets spatially-coherent layouts — the
     # driver sorting again on top would be pure redundant work.
     cfg = dataclasses.replace(config, nn_sort="none")
-    rots, ts, drops = _fused_scan(pts, msk, cfg, float(voxel_size),
-                                  int(capacity), int(probes))
+    out = _fused_scan(pts, msk, cfg, float(voxel_size),
+                      int(capacity), int(probes), bool(with_metrics))
+    stats = None
+    if with_metrics:
+        rots, ts, drops, stats = out
+    else:
+        rots, ts, drops = out
     rots_np, ts_np = np.asarray(rots), np.asarray(ts)
     n_dropped = int(np.asarray(drops).sum())
     if n_dropped:
@@ -217,4 +242,6 @@ def _run_fused(frames, masks, config, voxel_size, capacity, probes):
         RigidTransform2(jnp.asarray(rots_np[i]), jnp.asarray(ts_np[i]))
         for i in range(len(ts_np))
     ]
+    if with_metrics:
+        return transforms, ts_np.astype(np.float64), stats
     return transforms, ts_np.astype(np.float64)

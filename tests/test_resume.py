@@ -87,3 +87,38 @@ def test_fused_runner_metrics_match_device_loop():
         np.testing.assert_allclose(
             float(stats.mean_nn_dist[i]), rec.mean_nn_dist, rtol=1e-12
         )
+
+
+def test_submap_and_p2l_stats():
+    """Per-frame stats from the fused submap runner and the p2l driver."""
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.geometry.transform3d import RigidTransform3
+    from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
+    from icp_rust_tpu.models.submap import run_submap_odometry
+
+    frames, masks = _sequence(f=5)
+    _, _, stats = run_submap_odometry(
+        frames, masks, REFERENCE_CONFIG, voxel_size=20.0, capacity=1 << 12,
+        with_metrics=True,
+    )
+    assert stats.outer_iters.shape == (4,)
+    assert np.all(np.asarray(stats.outer_iters) >= 1)
+    assert np.all(np.isfinite(np.asarray(stats.huber_error)))
+    assert np.all(np.asarray(stats.mean_nn_dist) >= 0)
+    inl = np.asarray(stats.inlier_fraction)
+    assert np.all((inl >= 0) & (inl <= 1))
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-2, 2, (512, 3))
+    pts[:, 2] = 0.1 * pts[:, 0]  # a plane so normals are defined
+    src = jnp.asarray(pts)
+    dst = src + jnp.asarray([0.02, -0.01, 0.0])
+    m = jnp.ones(512, bool)
+    t, st = icp_point_to_plane(
+        src, dst, m, m, RigidTransform3.identity(dtype=jnp.float64),
+        REFERENCE_CONFIG, normals_voxel_size=1.0, return_stats=True,
+    )
+    assert int(st.outer_iters) >= 1
+    assert np.isfinite(float(st.huber_error))
+    assert 0.0 <= float(st.inlier_fraction) <= 1.0
