@@ -321,3 +321,36 @@ def test_nn_prune_bound_bit_identical_on_device():
                                   np.asarray(want.index))
     np.testing.assert_array_equal(np.asarray(got.dist_sq),
                                   np.asarray(want.dist_sq))
+
+
+def test_p2l_driver_smoke_on_device():
+    """3-frame SE(3) p2l odometry end-to-end on device (voxel normals,
+    4-lane payload NN, whole-loop kernel, prune-bound seeding)."""
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.geometry.transform3d import RigidTransform3
+    from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    base = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    base[:, 2] = 0.2 * base[:, 0] + 0.1 * base[:, 1]  # sloped plane
+    base[n // 2:, 2] = 1.0  # plus a flat deck: full 6-DoF constraints? no
+    # add two walls for translation observability
+    base[: n // 4, 0] = -3.0
+    base[n // 4: n // 2, 1] = 3.0
+    cfg = ICPConfig(compute_dtype=F32, point_scale=1.0, det_rel_eps=1e-9)
+    m = jnp.ones(n, bool)
+    t_true = RigidTransform3.from_twist(
+        jnp.asarray([0.04, -0.03, 0.02, 0.01, -0.01, 0.02], F32))
+    src = jnp.asarray(base)
+    dst = t_true.apply_points(src) + jnp.asarray(
+        rng.normal(0, 2e-3, (n, 3)), F32)
+    t, stats = icp_point_to_plane(
+        src, dst, m, m, RigidTransform3.identity(dtype=F32), cfg,
+        normals_voxel_size=0.5, return_stats=True,
+    )
+    pred = np.asarray(t.apply_points(src))
+    want = np.asarray(t_true.apply_points(src))
+    assert np.linalg.norm(pred - want, axis=1).max() < 2e-2
+    assert int(stats.outer_iters) >= 1
+    assert np.isfinite(float(stats.huber_error))
