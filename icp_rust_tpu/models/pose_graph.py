@@ -277,6 +277,9 @@ def odometry_chain_graph(
     ``RigidTransform2`` or ``RigidTransform3``.
     extra_edges: list of (i, j, transform, info dofxdof) loop closures.
     """
+    # Canonicalize so an f64 request degrades silently to f32 when x64 is
+    # off (TPU runs) instead of emitting a truncation warning per call.
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     tcls = type(transforms)
     dim = transforms.t.shape[-1]
     dof = 3 if dim == 2 else 6

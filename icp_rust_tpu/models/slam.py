@@ -44,6 +44,13 @@ class SlamResult(NamedTuple):
     error_after: float
 
 
+def _graph_dtype():
+    """f64 for the pose-graph solve (direct solvers need it at scale; see
+    models/graph_schur.py) — canonicalized so x64-off runs degrade to f32
+    silently instead of warning on every astype."""
+    return jax.dtypes.canonicalize_dtype(jnp.float64)
+
+
 def _batched_icp(src, dst, src_mask, dst_mask, config):
     import functools
 
@@ -159,12 +166,13 @@ def run_slam2d(
                     t_ij.rot[k], t_ij.t[k]
                 ).inverse()
                 extra_edges.append(
-                    (i, j, z.astype(jnp.float64), 10.0 * np.eye(3))
+                    (i, j, z.astype(_graph_dtype()), 10.0 * np.eye(3))
                 )
 
     # 3. Pose graph: chain measurements z_k = rel_inv (T_k^-1 T_{k+1}).
+    gdt = _graph_dtype()
     chain = RigidTransform2(
-        rel_inv.rot.astype(jnp.float64), rel_inv.t.astype(jnp.float64)
+        rel_inv.rot.astype(gdt), rel_inv.t.astype(gdt)
     )
     graph = pg.odometry_chain_graph(chain, extra_edges=extra_edges)
     e0 = float(pg.graph_error(graph))
@@ -292,12 +300,13 @@ def run_slam3d(
             # z_ij in the graph's T_i^-1 T_j convention = t_ij^-1.
             z = t_ij.inverse()
             extra_edges.append(
-                (i, j, z.astype(jnp.float64), 10.0 * np.eye(6))
+                (i, j, z.astype(_graph_dtype()), 10.0 * np.eye(6))
             )
 
     # 3. SE(3) pose graph.
+    gdt = _graph_dtype()
     chain = RigidTransform3(
-        rel_inv.rot.astype(jnp.float64), rel_inv.t.astype(jnp.float64)
+        rel_inv.rot.astype(gdt), rel_inv.t.astype(gdt)
     )
     graph = pg.odometry_chain_graph(chain, extra_edges=extra_edges)
     e0 = float(pg.graph_error(graph))

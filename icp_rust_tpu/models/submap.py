@@ -95,6 +95,13 @@ def run_submap_odometry(
     ``with_metrics`` (fused only) appends per-frame ICPStats arrays
     (outer iterations, Huber error, mean NN distance, inlier fraction)
     to the return.
+
+    Map extent: the hash map keys a FIXED 1024-cells-per-axis box
+    (1024 * voxel_size per axis, ~51 m at the default voxel_size=0.05)
+    centered on frame 0's centroid.  A trajectory leaving that box stops
+    extending the map; such points count toward the dropped-points
+    warning below — pick ``voxel_size`` so the expected trajectory plus
+    sensor range fits.
     """
     if fused:
         return _run_fused(frames, masks, config, voxel_size, capacity,
@@ -233,8 +240,9 @@ def _run_fused(frames, masks, config, voxel_size, capacity, probes,
 
         warnings.warn(
             f"submap hash map dropped {n_dropped} points across the "
-            f"sequence (probe exhaustion) — grow `capacity` (power of "
-            f"two) or the voxel size",
+            f"sequence (probe exhaustion, or out of the fixed "
+            f"1024*voxel_size cell box) — grow `capacity` (power of two) "
+            f"or the voxel size",
             RuntimeWarning,
             stacklevel=3,
         )

@@ -662,8 +662,9 @@ def estimate_transform_pallas(
 # pays the slowest pair's iteration count for every pair PLUS ~20 us of
 # per-iteration launch/bookkeeping: at 209 real scan pairs that measured
 # ~38 max iterations per outer ICP pass against a p90 of ~10.  Here the
-# grid walks _PAIR_BLK-pair blocks (full sublane groups — a single pair
-# would fill 6% of a vreg) and each block loops IN-KERNEL only until ITS pairs
+# grid walks _PAIR_BLK-pair blocks (_PAIR_BLK = 64: full sublane groups —
+# a single pair would fill a fraction of a vreg, wasting issue slots; see
+# the cost model at _PAIR_BLK) and each block loops IN-KERNEL only until ITS pairs
 # are done.  Consecutive scan pairs converge similarly, so blocks are
 # homogeneous and the batch desynchronizes at block granularity with no
 # per-iteration launches at all.  Per-pair semantics are IDENTICAL to the
@@ -680,13 +681,13 @@ def _inner_loop_batched_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref,
                                out_ref, *, huber_k: float,
                                det_rel_eps: float, tol_d2: float,
                                max_iter: int, point_scale: float):
-    sx = sx_ref[:]  # (8, N)
+    sx = sx_ref[:]  # (_PAIR_BLK, N)
     sy = sy_ref[:]
     dx = dx_ref[:]
     dy = dy_ref[:]
     mask = m_ref[:] > 0.5
     mf = jnp.where(mask, 1.0, 0.0)
-    n = jnp.sum(mf, axis=1, keepdims=True).astype(jnp.int32)  # (8, 1)
+    n = jnp.sum(mf, axis=1, keepdims=True).astype(jnp.int32)  # (_PAIR_BLK, 1)
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
     k2 = jnp.float32(huber_k * huber_k)
@@ -698,8 +699,8 @@ def _inner_loop_batched_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref,
         return (it < max_iter) & jnp.any(done == 0)
 
     def body(c):
-        r00, r01, r10, r11, tx, ty, it, done, prev = c  # (8,1) each
-        rx = r00 * sx + r01 * sy + tx - dx  # (8, N)
+        r00, r01, r10, r11, tx, ty, it, done, prev = c  # (_PAIR_BLK,1) each
+        rx = r00 * sx + r01 * sy + tx - dx  # (_PAIR_BLK, N)
         ry = r10 * sx + r11 * sy + ty - dy
         mask2 = jnp.concatenate([mask, mask], axis=0)
         n2 = jnp.concatenate([n, n], axis=0)
@@ -851,7 +852,7 @@ def estimate_transform_pallas_batched(
     point_scale: float,
     interpret: bool = False,
 ):
-    """Whole inner IRLS loop for EVERY pair, desynchronized per 8-pair
+    """Whole inner IRLS loop for EVERY pair, desynchronized per _PAIR_BLK-pair
     block.  src/dst: (B, N, 2), N a multiple of 128; mask (B, N).
     Returns (rot (B, 2, 2), t (B, 2)) in solver units, starting from
     identity — per-pair semantics identical to the lockstep loop."""

@@ -89,12 +89,18 @@ def insert(
 ):
     """Accumulate ``points[mask]`` into their voxels.  Returns
     (updated map, dropped count) — dropped = points whose cell could not
-    claim a slot within ``probes`` rounds (table too full)."""
+    claim a slot within ``probes`` rounds (table too full) PLUS points
+    outside the fixed 1024^D cell box around ``m.origin`` (a trajectory
+    leaving the ~1024*voxel_size box stops extending the map; counting
+    those here lets callers' capacity warnings fire, ADVICE r2 #3)."""
     capacity = m.key.shape[0]
     dtype = m.psum.dtype
     shift = 32 - int(capacity).bit_length() + 1  # log2(capacity) high bits
 
     cid, active = _cell_ids(points, mask, m.origin, voxel_size)
+    n_out_of_box = (
+        jnp.sum(mask.astype(jnp.int32)) - jnp.sum(active.astype(jnp.int32))
+    )
     cidu = cid.astype(jnp.uint32)
     h = ((cidu * jnp.uint32(2654435761)) >> shift).astype(jnp.int32)
     # Odd step -> full cycle over the power-of-two table.
@@ -114,7 +120,7 @@ def insert(
         cnt = cnt.at[slot].add(addf)
         active = active & ~won
         slot = (slot + stp) & (capacity - 1)
-    dropped = jnp.sum(active.astype(jnp.int32))
+    dropped = jnp.sum(active.astype(jnp.int32)) + n_out_of_box
     return m._replace(key=key, psum=psum, cnt=cnt), dropped
 
 

@@ -15,12 +15,26 @@ from jax.sharding import Mesh
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host process-group init (jax.distributed).  No-op if already
-    initialized or single-process."""
+    """Multi-host process-group init (jax.distributed).
+
+    Only the documented benign case — the process group is already
+    initialized — is swallowed; every other failure (bad coordinator
+    address, port conflict, mismatched process counts) re-raises so a
+    multi-host misconfiguration cannot silently degrade to a
+    single-process run.  Logs the resolved process/device counts.
+    """
+    import logging
+
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process run
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
+    logging.getLogger(__name__).info(
+        "jax.distributed: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
 
 
 def make_mesh(

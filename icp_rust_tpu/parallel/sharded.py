@@ -298,11 +298,13 @@ def dp_sp_icp_p2l(
 
         def outer(t):
             src_t = t.apply_points(src_s)
-            _, pay = ring_nearest_neighbor_matched(
+            match, pay = ring_nearest_neighbor_matched(
                 src_t, dst_s, dmask_l, point_axis,
                 tile=config.nn_dst_tile, payload=payload,
             )
-            matched_n, matched, matched_ok = decode_p2l_payload(pay)
+            matched_n, matched, matched_ok = decode_p2l_payload(
+                pay, match.dist_sq
+            )
             pair_mask = smask_l & matched_ok
             dt = align3d.estimate_transform_p2l(
                 src_t, matched, matched_n, pair_mask, config,

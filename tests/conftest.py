@@ -40,6 +40,16 @@ if not TPU_TIER:
 
 def pytest_collection_modifyitems(config, items):
     if TPU_TIER:
+        # Even without `-m tpu` on the command line, never run the CPU/f64
+        # parity tier against the remote axon TPU backend (slow remote dial
+        # plus guaranteed dtype failures with x64 off) — deselect non-tpu
+        # items here (ADVICE r2 #5).
+        skip_cpu = pytest.mark.skip(
+            reason="CPU/f64 parity tier (run without ICP_TPU_TESTS)"
+        )
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip_cpu)
         return
     skip = pytest.mark.skip(
         reason="TPU hardware tier (run with ICP_TPU_TESTS=1 -m tpu)"
