@@ -152,6 +152,93 @@ def run_odometry_device(
     return transforms, path
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "normals_voxel", "with_stats")
+)
+def _p2l_step(src, dst, src_mask, dst_mask, t, config: ICPConfig,
+              normals_voxel: float, with_stats: bool = False):
+    """Single warm-started SE(3) point-to-plane frame alignment (module-
+    level jit for the same cache-persistence reason as _odometry_step)."""
+    from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
+
+    if with_stats:
+        t, stats = icp_point_to_plane(
+            src, dst, src_mask, dst_mask, t, config,
+            normals_voxel_size=normals_voxel, return_stats=True,
+        )
+        return t, t.inverse().t, stats
+    t = icp_point_to_plane(
+        src, dst, src_mask, dst_mask, t, config,
+        normals_voxel_size=normals_voxel,
+    )
+    return t, t.inverse().t
+
+
+def run_odometry_p2l(
+    frames: np.ndarray,
+    masks: np.ndarray,
+    config: ICPConfig = ICPConfig(),
+    normals_voxel_size: float = 0.3,
+    metrics=None,
+    checkpoint=None,
+    resume: bool = False,
+):
+    """Device-resident SE(3) point-to-plane sequence odometry — the full
+    6-DoF counterpart of :func:`run_odometry_device` with the same
+    observability surface: per-frame JSONL metrics rows (outer iterations,
+    Huber error, mean NN distance, inlier fraction), every-K checkpoints,
+    and bitwise kill-and-resume (the engine is deterministic given the
+    (src, transform) state).
+
+    frames: (F, N, 3) padded; masks: (F, N).  Frame 0 is the fixed src.
+    Returns (transforms list of RigidTransform3, path (F-1, 3) numpy).
+    """
+    from icp_rust_tpu.geometry.transform3d import RigidTransform3
+
+    pts = jnp.asarray(frames, config.compute_dtype)
+    msk = jnp.asarray(masks)
+    src, src_mask = pts[0], msk[0]
+    t = RigidTransform3.identity(dtype=config.compute_dtype)
+    transforms, path = [], []
+    start = 1
+    if resume and checkpoint is not None:
+        state = checkpoint.restore()
+        if state is not None:
+            start = int(state["frame_cursor"]) + 1
+            t = RigidTransform3(
+                jnp.asarray(state["t_rot"], config.compute_dtype),
+                jnp.asarray(state["t_t"], config.compute_dtype),
+            )
+            for row in state["path"]:
+                path.append(jnp.asarray(row))
+    with_stats = metrics is not None
+    for i in range(start, pts.shape[0]):
+        if metrics is not None:
+            metrics.start_frame()
+        out = _p2l_step(src, pts[i], src_mask, msk[i], t, config,
+                        normals_voxel_size, with_stats)
+        if with_stats:
+            t, pos, stats = out
+            metrics.end_frame(
+                i,
+                huber_error=float(stats.huber_error),
+                mean_nn_dist=float(stats.mean_nn_dist),
+                inlier_fraction=float(stats.inlier_fraction),
+                extra={"outer_iters": int(stats.outer_iters)},
+            )
+        else:
+            t, pos = out
+        transforms.append(t)
+        path.append(pos)
+        if checkpoint is not None:
+            checkpoint.maybe_save(i, {
+                "t_rot": t.rot, "t_t": t.t,
+                "path": jnp.stack(path),
+            })
+    path = np.asarray(jnp.stack(path))
+    return transforms, path
+
+
 @functools.partial(jax.jit, static_argnames=("config", "with_stats"))
 def _odometry_scan(pts, msk, config: ICPConfig, with_stats: bool = False):
     driver = icp2d if pts.shape[-1] == 2 else icp3d_planar

@@ -51,6 +51,39 @@ def _graph_dtype():
     return jax.dtypes.canonicalize_dtype(jnp.float64)
 
 
+def _pack_edges(extra_edges, dof):
+    """Loop-closure edges -> flat npz-able arrays (i, j, rot, t).  The
+    information matrix is the constant 10*I by construction here, so it is
+    not stored."""
+    dim = 2 if dof == 3 else 3
+    if not extra_edges:
+        return {
+            "edge_i": np.zeros(0, np.int64),
+            "edge_j": np.zeros(0, np.int64),
+            "edge_rot": np.zeros((0, dim, dim)),
+            "edge_t": np.zeros((0, dim)),
+        }
+    return {
+        "edge_i": np.asarray([e[0] for e in extra_edges], np.int64),
+        "edge_j": np.asarray([e[1] for e in extra_edges], np.int64),
+        "edge_rot": np.stack([np.asarray(e[2].rot) for e in extra_edges]),
+        "edge_t": np.stack([np.asarray(e[2].t) for e in extra_edges]),
+    }
+
+
+def _unpack_edges(state, tcls, dof):
+    edges = []
+    ii = state["edge_i"]
+    for k in range(ii.shape[0]):
+        z = tcls(
+            jnp.asarray(state["edge_rot"][k], _graph_dtype()),
+            jnp.asarray(state["edge_t"][k], _graph_dtype()),
+        )
+        edges.append((int(ii[k]), int(state["edge_j"][k]), z,
+                      10.0 * np.eye(dof)))
+    return edges
+
+
 def _batched_icp(src, dst, src_mask, dst_mask, config):
     import functools
 
@@ -82,14 +115,36 @@ def run_slam2d(
     max_loop_candidates: int = 64,
     accept_factor: float = 2.0,
     graph_iters: int = 20,
+    checkpoint=None,
+    resume: bool = False,
 ) -> SlamResult:
+    """``checkpoint``/``resume``: same npz phase checkpoints as
+    :func:`run_slam3d` — here the odometry and loop-verification passes
+    are single batched solves, so the record is written after
+    verification (phase 1: relative chain + edges) and after the graph
+    solve (phase 2: + optimized poses); resume skips completed phases and
+    reproduces the uninterrupted result bitwise."""
     pts_np, mask_np = scan_io.pad_points(frames)
     pts = jnp.asarray(pts_np, config.compute_dtype)
     mask = jnp.asarray(mask_np)
     f = pts.shape[0]
 
+    saved = None
+    if resume and checkpoint is not None:
+        st = checkpoint.restore()
+        if (st is not None and "rel_rot" in st
+                and int(st.get("slam_phase", 0)) >= 1
+                and int(st["rel_rot"].shape[0]) == f - 1):
+            saved = st
+
     # 1. Odometry: all consecutive pairs in one batched solve.
-    rel = _batched_icp(pts[:-1], pts[1:], mask[:-1], mask[1:], config)
+    if saved is not None:
+        rel = RigidTransform2(
+            jnp.asarray(saved["rel_rot"], config.compute_dtype),
+            jnp.asarray(saved["rel_t"], config.compute_dtype),
+        )
+    else:
+        rel = _batched_icp(pts[:-1], pts[1:], mask[:-1], mask[1:], config)
     # rel[k] maps frame k points into frame k+1: pose_{k+1} = pose_k o rel_k^-1.
     rel_inv = rel.inverse()
     rots = [jnp.eye(2, dtype=config.compute_dtype)]
@@ -102,36 +157,48 @@ def run_slam2d(
     odo_poses = RigidTransform2(jnp.stack(rots), jnp.stack(ts))
     odo_path = np.asarray(odo_poses.t, dtype=np.float64)
 
-    # Baseline alignment quality: consecutive-pair post-ICP NN distance.
-    base_nn = _mean_nn_dist(
-        pts[:-1], pts[1:], mask[:-1], mask[1:], rel, config
-    )
-    accept_thresh = accept_factor * float(jnp.median(base_nn))
+    def _state2(phase, extra_edges):
+        return {
+            "slam_phase": phase,
+            "rel_rot": rel.rot, "rel_t": rel.t,
+            **_pack_edges(extra_edges, 3),
+        }
 
-    # 2. Loop-closure candidates from odometry proximity.
-    d2 = (
-        (odo_path[:, None, :] - odo_path[None, :, :]) ** 2
-    ).sum(-1)
-    ii, jj = np.nonzero(
-        (d2 < loop_radius**2)
-        & (np.abs(np.arange(f)[:, None] - np.arange(f)[None, :]) >= min_gap)
-    )
-    keep = ii < jj
-    cand = list(zip(ii[keep].tolist(), jj[keep].tolist()))
-    # Thin out: keep the closest per (i // gap) bucket, cap the total.
-    cand.sort(key=lambda p: d2[p[0], p[1]])
-    seen_bucket = set()
-    picked = []
-    for i, j in cand:
-        b = (i // max(min_gap // 2, 1), j // max(min_gap // 2, 1))
-        if b in seen_bucket:
-            continue
-        seen_bucket.add(b)
-        picked.append((i, j))
-        if len(picked) >= max_loop_candidates:
-            break
+    if saved is not None:
+        extra_edges = _unpack_edges(saved, RigidTransform2, 3)
+        picked = None
+    else:
+        # Baseline alignment quality: consecutive post-ICP NN distance.
+        base_nn = _mean_nn_dist(
+            pts[:-1], pts[1:], mask[:-1], mask[1:], rel, config
+        )
+        accept_thresh = accept_factor * float(jnp.median(base_nn))
 
-    extra_edges = []
+        # 2. Loop-closure candidates from odometry proximity.
+        d2 = (
+            (odo_path[:, None, :] - odo_path[None, :, :]) ** 2
+        ).sum(-1)
+        ii, jj = np.nonzero(
+            (d2 < loop_radius**2)
+            & (np.abs(np.arange(f)[:, None] - np.arange(f)[None, :])
+               >= min_gap)
+        )
+        keep = ii < jj
+        cand = list(zip(ii[keep].tolist(), jj[keep].tolist()))
+        # Thin out: keep the closest per (i // gap) bucket, cap total.
+        cand.sort(key=lambda p: d2[p[0], p[1]])
+        seen_bucket = set()
+        picked = []
+        for i, j in cand:
+            b = (i // max(min_gap // 2, 1), j // max(min_gap // 2, 1))
+            if b in seen_bucket:
+                continue
+            seen_bucket.add(b)
+            picked.append((i, j))
+            if len(picked) >= max_loop_candidates:
+                break
+
+        extra_edges = []
     if picked:
         ci = np.array([p[0] for p in picked])
         cj = np.array([p[1] for p in picked])
@@ -168,6 +235,8 @@ def run_slam2d(
                 extra_edges.append(
                     (i, j, z.astype(_graph_dtype()), 10.0 * np.eye(3))
                 )
+    if saved is None and checkpoint is not None:
+        checkpoint.save(f - 1, _state2(1, extra_edges))
 
     # 3. Pose graph: chain measurements z_k = rel_inv (T_k^-1 T_{k+1}).
     gdt = _graph_dtype()
@@ -181,6 +250,13 @@ def run_slam2d(
         kernel="cauchy",
     )
     e1 = float(pg.graph_error(out))
+    if checkpoint is not None:
+        # SURVEY §5's pose-graph state: optimized poses + edges + cursor.
+        checkpoint.save(f - 1, {
+            **_state2(2, extra_edges),
+            "pose_rot": np.asarray(out.poses.rot),
+            "pose_t": np.asarray(out.poses.t),
+        })
     return SlamResult(
         poses=out.poses,
         odometry_path=odo_path,
@@ -209,6 +285,8 @@ def run_slam3d(
     accept_factor: float = 2.0,
     graph_iters: int = 15,
     normals_voxel_size: float = 0.3,
+    checkpoint=None,
+    resume: bool = False,
 ) -> Slam3Result:
     """SE(3) SLAM: p2l odometry chain + proximity loop closures + graph.
 
@@ -220,6 +298,17 @@ def run_slam3d(
     NN distance is within ``accept_factor`` x the median consecutive-pair
     distance; the SE(3) pose graph (models.pose_graph, Cauchy-robust loop
     edges) fuses both.
+
+    ``checkpoint`` (a utils.checkpoint.SequenceCheckpointer) saves the
+    SLAM state as a flat npz pytree at three granularities: every K
+    frames of the odometry chain (relative transforms + warm-start
+    cursor), once after loop-closure verification (edges), and once after
+    the graph solve (optimized poses + edges + cursor — SURVEY §5's
+    pose-graph state).  ``resume=True`` seeks past whatever phase the
+    checkpoint reached; a rerun reproduces the uninterrupted result
+    bitwise (the per-frame step is deterministic given (pts, t) state,
+    and a stale partial-sequence phase-1 record is detected by relative-
+    chain length and recomputed).
     """
     import functools
 
@@ -239,9 +328,41 @@ def run_slam3d(
     # 1. Odometry chain: rel[k] maps frame-k points into frame k+1.
     rels = []
     t = RigidTransform3.identity(dtype=config.compute_dtype)
-    for k in range(f - 1):
+    start_k = 0
+    saved_edges = None
+    if resume and checkpoint is not None:
+        st = checkpoint.restore()
+        if st is not None and "rel_rot" in st:
+            n_rel = int(st["rel_rot"].shape[0])
+            for k in range(n_rel):
+                rels.append(RigidTransform3(
+                    jnp.asarray(st["rel_rot"][k], config.compute_dtype),
+                    jnp.asarray(st["rel_t"][k], config.compute_dtype),
+                ))
+            t = RigidTransform3(
+                jnp.asarray(st["t_rot"], config.compute_dtype),
+                jnp.asarray(st["t_t"], config.compute_dtype),
+            )
+            start_k = n_rel
+            # A phase-1/2 record is only complete if its chain covers the
+            # whole sequence (a crash mid-odometry can leave a shorter
+            # one); otherwise fall through and recompute the edges.
+            if int(st.get("slam_phase", 0)) >= 1 and n_rel == f - 1:
+                saved_edges = _unpack_edges(st, RigidTransform3, 6)
+
+    def _chain_state(phase):
+        return {
+            "slam_phase": phase,
+            "rel_rot": jnp.stack([r.rot for r in rels]),
+            "rel_t": jnp.stack([r.t for r in rels]),
+            "t_rot": t.rot, "t_t": t.t,
+        }
+
+    for k in range(start_k, f - 1):
         t = step(pts[k], pts[k + 1], mask[k], mask[k + 1], t)
         rels.append(t)
+        if checkpoint is not None:
+            checkpoint.maybe_save(k, _chain_state(0))
     rel = RigidTransform3(
         jnp.stack([r.rot for r in rels]), jnp.stack([r.t for r in rels])
     )
@@ -256,51 +377,60 @@ def run_slam3d(
     odo_poses = RigidTransform3(jnp.stack(rots), jnp.stack(ts))
     odo_path = np.asarray(odo_poses.t, dtype=np.float64)
 
-    # Baseline alignment quality for the accept threshold.
-    base_nn = np.asarray(jnp.stack([
-        _mean_nn_dist(pts[k], pts[k + 1], mask[k], mask[k + 1],
-                      RigidTransform3(rel.rot[k], rel.t[k]), config)
-        for k in range(f - 1)
-    ]))
-    accept_thresh = accept_factor * float(np.median(base_nn))
+    if saved_edges is not None:
+        extra_edges = saved_edges
+    else:
+        # Baseline alignment quality for the accept threshold.
+        base_nn = np.asarray(jnp.stack([
+            _mean_nn_dist(pts[k], pts[k + 1], mask[k], mask[k + 1],
+                          RigidTransform3(rel.rot[k], rel.t[k]), config)
+            for k in range(f - 1)
+        ]))
+        accept_thresh = accept_factor * float(np.median(base_nn))
 
-    # 2. Loop-closure candidates from odometry proximity (3D positions).
-    d2 = ((odo_path[:, None, :] - odo_path[None, :, :]) ** 2).sum(-1)
-    ii, jj = np.nonzero(
-        (d2 < loop_radius**2)
-        & (np.abs(np.arange(f)[:, None] - np.arange(f)[None, :]) >= min_gap)
-    )
-    keep = ii < jj
-    cand = sorted(
-        zip(ii[keep].tolist(), jj[keep].tolist()),
-        key=lambda p: d2[p[0], p[1]],
-    )
-    seen_bucket = set()
-    picked = []
-    for i, j in cand:
-        b = (i // max(min_gap // 2, 1), j // max(min_gap // 2, 1))
-        if b in seen_bucket:
-            continue
-        seen_bucket.add(b)
-        picked.append((i, j))
-        if len(picked) >= max_loop_candidates:
-            break
+        # 2. Loop-closure candidates from odometry proximity (3D).
+        d2 = ((odo_path[:, None, :] - odo_path[None, :, :]) ** 2).sum(-1)
+        ii, jj = np.nonzero(
+            (d2 < loop_radius**2)
+            & (np.abs(np.arange(f)[:, None] - np.arange(f)[None, :])
+               >= min_gap)
+        )
+        keep = ii < jj
+        cand = sorted(
+            zip(ii[keep].tolist(), jj[keep].tolist()),
+            key=lambda p: d2[p[0], p[1]],
+        )
+        seen_bucket = set()
+        picked = []
+        for i, j in cand:
+            b = (i // max(min_gap // 2, 1), j // max(min_gap // 2, 1))
+            if b in seen_bucket:
+                continue
+            seen_bucket.add(b)
+            picked.append((i, j))
+            if len(picked) >= max_loop_candidates:
+                break
 
-    extra_edges = []
-    for i, j in picked:
-        # Warm start from odometry: t_ij takes frame-i points to frame j.
-        pj = RigidTransform3(odo_poses.rot[j], odo_poses.t[j])
-        pi = RigidTransform3(odo_poses.rot[i], odo_poses.t[i])
-        init = pj.inverse().compose(pi)
-        t_ij = step(pts[i], pts[j], mask[i], mask[j], init)
-        nn_after = float(_mean_nn_dist(
-            pts[i], pts[j], mask[i], mask[j], t_ij, config
-        ))
-        if nn_after <= accept_thresh:
-            # z_ij in the graph's T_i^-1 T_j convention = t_ij^-1.
-            z = t_ij.inverse()
-            extra_edges.append(
-                (i, j, z.astype(_graph_dtype()), 10.0 * np.eye(6))
+        extra_edges = []
+        for i, j in picked:
+            # Warm start from odometry: t_ij takes frame-i points into
+            # frame j.
+            pj = RigidTransform3(odo_poses.rot[j], odo_poses.t[j])
+            pi = RigidTransform3(odo_poses.rot[i], odo_poses.t[i])
+            init = pj.inverse().compose(pi)
+            t_ij = step(pts[i], pts[j], mask[i], mask[j], init)
+            nn_after = float(_mean_nn_dist(
+                pts[i], pts[j], mask[i], mask[j], t_ij, config
+            ))
+            if nn_after <= accept_thresh:
+                # z_ij in the graph's T_i^-1 T_j convention = t_ij^-1.
+                z = t_ij.inverse()
+                extra_edges.append(
+                    (i, j, z.astype(_graph_dtype()), 10.0 * np.eye(6))
+                )
+        if checkpoint is not None:
+            checkpoint.save(
+                f - 1, {**_chain_state(1), **_pack_edges(extra_edges, 6)}
             )
 
     # 3. SE(3) pose graph.
@@ -315,6 +445,13 @@ def run_slam3d(
         kernel="cauchy",
     )
     e1 = float(pg.graph_error(out))
+    if checkpoint is not None:
+        # SURVEY §5's pose-graph state: optimized poses + edges + cursor.
+        checkpoint.save(f - 1, {
+            **_chain_state(2), **_pack_edges(extra_edges, 6),
+            "pose_rot": np.asarray(out.poses.rot),
+            "pose_t": np.asarray(out.poses.t),
+        })
     return Slam3Result(
         poses=out.poses,
         odometry_path=odo_path,

@@ -46,10 +46,16 @@ class SequenceCheckpointer:
     def maybe_save(self, frame: int, state: Dict[str, Any]) -> bool:
         if frame % self.every != 0:
             return False
+        self.save(frame, state)
+        return True
+
+    def save(self, frame: int, state: Dict[str, Any]) -> None:
+        """Unconditional save — phase boundaries (odometry chain done,
+        loop edges verified, graph solved) checkpoint regardless of the
+        every-K cadence."""
         state = dict(state)
         state["frame_cursor"] = np.asarray(frame)
         save_state(self.path, jax.tree.map(np.asarray, state))
-        return True
 
     def restore(self) -> Dict[str, np.ndarray] | None:
         return load_state(self.path)

@@ -89,6 +89,60 @@ def test_fused_runner_metrics_match_device_loop():
         )
 
 
+def _sequence3d(f=7, n=256, seed=1):
+    """Gentle 3D terrain scans (normals well-defined for p2l)."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-2, 2, (n, 3))
+    base[:, 2] = 0.2 * np.sin(base[:, 0]) + 0.1 * base[:, 1]
+    frames = np.zeros((f, n, 3))
+    for k in range(f):
+        th = 0.02 * k
+        c, s = np.cos(th), np.sin(th)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        frames[k] = base @ rot.T + [0.05 * k, 0.02 * k, 0.0]
+    return frames, np.ones((f, n), bool)
+
+
+def test_kill_and_resume_p2l_bitwise(tmp_path):
+    """The SE(3) p2l runner has the 2D path's resume guarantees."""
+    from icp_rust_tpu.models.odometry import run_odometry_p2l
+
+    frames, masks = _sequence3d()
+    ck = str(tmp_path / "ck3.npz")
+
+    _, path_ref = run_odometry_p2l(
+        frames, masks, REFERENCE_CONFIG, normals_voxel_size=1.0
+    )
+    _, _ = run_odometry_p2l(
+        frames[:4], masks[:4], REFERENCE_CONFIG, normals_voxel_size=1.0,
+        checkpoint=SequenceCheckpointer(ck, every=2),
+    )
+    assert os.path.exists(ck)
+    _, path_res = run_odometry_p2l(
+        frames, masks, REFERENCE_CONFIG, normals_voxel_size=1.0,
+        checkpoint=SequenceCheckpointer(ck, every=2), resume=True,
+    )
+    np.testing.assert_array_equal(path_res, path_ref)
+
+
+def test_p2l_runner_metrics_rows(tmp_path):
+    from icp_rust_tpu.models.odometry import run_odometry_p2l
+
+    frames, masks = _sequence3d(f=4)
+    mpath = str(tmp_path / "m3.jsonl")
+    log = MetricsLogger(mpath)
+    run_odometry_p2l(frames, masks, REFERENCE_CONFIG,
+                     normals_voxel_size=1.0, metrics=log)
+    log.close()
+    rows = [json.loads(line) for line in open(mpath)]
+    assert len(rows) == 3
+    for r in rows:
+        assert np.isfinite(r["huber_error"])
+        assert np.isfinite(r["mean_nn_dist"]) and r["mean_nn_dist"] >= 0
+        assert 0.0 <= r["inlier_fraction"] <= 1.0
+        assert r["extra"]["outer_iters"] >= 1
+
+
 def test_submap_and_p2l_stats():
     """Per-frame stats from the fused submap runner and the p2l driver."""
     import jax.numpy as jnp

@@ -33,6 +33,25 @@ def _loop_sequence(n_frames=24, n_pts=350, seed=0):
     return frames, poses
 
 
+def test_slam2d_checkpoint_resume_bitwise(tmp_path):
+    """Phase checkpoints on the 2D pipeline: a completed record lets a
+    rerun skip the batched odometry + verification solves and reproduce
+    the result bitwise."""
+    from icp_rust_tpu.utils.checkpoint import SequenceCheckpointer, load_state
+
+    frames, _ = _loop_sequence(n_frames=12, n_pts=200, seed=3)
+    ck = str(tmp_path / "slam2d.npz")
+    ref = run_slam2d(frames, REFERENCE_CONFIG, loop_radius=0.8, min_gap=4,
+                     checkpoint=SequenceCheckpointer(ck, 4))
+    state = load_state(ck)
+    assert int(state["slam_phase"]) == 2
+    assert state["pose_t"].shape == (len(frames), 2)
+    res = run_slam2d(frames, REFERENCE_CONFIG, loop_radius=0.8, min_gap=4,
+                     checkpoint=SequenceCheckpointer(ck, 4), resume=True)
+    np.testing.assert_array_equal(res.optimized_path, ref.optimized_path)
+    assert res.n_loop_closures == ref.n_loop_closures
+
+
 def test_slam_finds_loop_closures_and_optimizes():
     frames, poses = _loop_sequence()
     res = run_slam2d(

@@ -32,6 +32,57 @@ def _trajectory(n_poses=28, radius=1.0):
     return poses
 
 
+def _frames(rng, scene, poses, keep, noise=0.004):
+    frames = []
+    for p in poses:
+        pts = np.asarray(
+            p.inverse().apply_points(jnp.asarray(scene))
+        ) + rng.normal(0, noise, scene.shape).astype(np.float32)
+        sel = rng.permutation(len(pts))[:keep]
+        frames.append(pts[sel])
+    return frames
+
+
+def test_slam3d_kill_and_resume_bitwise(tmp_path):
+    """Kill-and-resume on the full SLAM pipeline: a crash mid-odometry
+    leaves a partial chain checkpoint; resuming the full sequence
+    reproduces the uninterrupted result bitwise, and the final record
+    carries the pose-graph state (poses + edges + cursor)."""
+    from icp_rust_tpu.utils.checkpoint import SequenceCheckpointer, load_state
+
+    rng = np.random.default_rng(1)
+    scene = _scene(rng, n=2000)
+    poses = _trajectory(n_poses=10)
+    frames = _frames(rng, scene, poses, keep=1024)
+    cfg = ICPConfig(compute_dtype=jnp.float32)
+    kw = dict(loop_radius=0.8, min_gap=4, max_loop_candidates=4,
+              normals_voxel_size=0.4)
+
+    ref = run_slam3d(frames, cfg, **kw)
+
+    ck = str(tmp_path / "slam3d.npz")
+    # "Crash" after 5 frames: the checkpoint holds a 5-edge chain (its
+    # phase-1/2 record covers only the truncated sequence).
+    run_slam3d(frames[:6], cfg, checkpoint=SequenceCheckpointer(ck, 2),
+               **kw)
+    res = run_slam3d(frames, cfg, checkpoint=SequenceCheckpointer(ck, 2),
+                     resume=True, **kw)
+    np.testing.assert_array_equal(res.optimized_path, ref.optimized_path)
+    assert res.n_loop_closures == ref.n_loop_closures
+
+    state = load_state(ck)
+    assert int(state["slam_phase"]) == 2
+    assert state["pose_t"].shape == (len(frames), 3)
+    assert state["rel_rot"].shape[0] == len(frames) - 1
+    assert "edge_i" in state
+
+    # Resuming from the completed phase-2 record skips odometry and the
+    # loop-closure verification entirely and still reproduces the result.
+    res2 = run_slam3d(frames, cfg, checkpoint=SequenceCheckpointer(ck, 2),
+                      resume=True, **kw)
+    np.testing.assert_array_equal(res2.optimized_path, ref.optimized_path)
+
+
 def test_run_slam3d_closes_loop():
     rng = np.random.default_rng(0)
     scene = _scene(rng)
