@@ -97,6 +97,12 @@ def load_baseline():
 
 
 def main():
+    # Published TPU numbers are gated on the compiled-Mosaic hardware
+    # tier being green for this exact source tree (benchmarks/tier_gate).
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    from tier_gate import ensure_tier_green
+
+    ensure_tier_green()
     frames, traj = ensure_data()
     fps, path = run_tpu(frames)
 

@@ -234,10 +234,10 @@ def icp2d(
         # Valid NN upper bound: the db is fixed across outer iterations,
         # so dist_new(q) <= dist_prev(q) + |Δq| — seeds the kernel's
         # prune threshold (results stay bit-identical).  The sqrt/square
-        # round trip can round 1-3 ulp BELOW prev_d2; inflate by 8 eps
+        # round trip can round 1-3 ulp BELOW prev_d2; inflate by 32 eps
         # so the bound stays a true upper bound in floating point.
         move = jnp.linalg.norm(src_t - prev_q, axis=-1)
-        ulp = 1.0 + 8.0 * jnp.finfo(src.dtype).eps
+        ulp = 1.0 + 32.0 * jnp.finfo(src.dtype).eps
         qb = (jnp.sqrt(prev_d2) + move) ** 2 * ulp
         res, matched = nearest_neighbor_matched(
             src_t, dst, dst_mask, backend=config.nn_backend,
@@ -309,9 +309,9 @@ def icp3d_planar(
         # Queries move only in xy (z passes through), so |Δq| = |Δxy|;
         # dist_prev + |Δq| bounds the new NN distance (db fixed) and
         # seeds the kernel's prune threshold — bit-identical results.
-        # 8-eps inflation keeps it an upper bound under f32 rounding.
+        # 32-eps inflation keeps it an upper bound under f32 rounding.
         move = jnp.linalg.norm(src_t[..., :2] - prev_xy, axis=-1)
-        ulp = 1.0 + 8.0 * jnp.finfo(src.dtype).eps
+        ulp = 1.0 + 32.0 * jnp.finfo(src.dtype).eps
         qb = (jnp.sqrt(prev_d2) + move) ** 2 * ulp
         res, matched_xy = nearest_neighbor_matched(
             src_t, dst, dst_mask, payload=payload_xy,

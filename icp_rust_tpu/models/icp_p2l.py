@@ -134,9 +134,9 @@ def icp_point_to_plane(
         src_t = t.apply_points(src)
         # dist_prev + |Δq| bounds the new NN distance (db fixed across
         # outer iterations) — seeds the prune threshold, bit-identical.
-        # 8-eps inflation keeps it an upper bound under f32 rounding.
+        # 32-eps inflation keeps it an upper bound under f32 rounding.
         move = jnp.linalg.norm(src_t - prev_q, axis=-1)
-        ulp = 1.0 + 8.0 * jnp.finfo(dtype).eps
+        ulp = 1.0 + 32.0 * jnp.finfo(dtype).eps
         qb = (jnp.sqrt(prev_d2) + move) ** 2 * ulp
         res, pay = nearest_neighbor_matched(
             src_t, dst, dst_mask, payload=payload,

@@ -433,6 +433,14 @@ def _nn_pruned_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref, dist_ref,
         b = qbox_ref[i, k] - bbox_ref[actual, 4 + k]   # q_lo - db_hi
         g = jnp.maximum(jnp.maximum(a, b), 0.0)
         lb = lb + g * g
+    # One-sided exactness margin: lb is a rounded float expression (one
+    # sub + one square + d-1 adds per axis) and can exceed the TRUE
+    # box-to-point bound by a few ulp; the candidate distances it prunes
+    # against carry similar rounding.  Deflate lb by a generous relative
+    # margin so the prune test errs only toward keeping tiles — the
+    # bit-identical-to-unpruned contract must not hinge on matched
+    # rounding on both sides.
+    lb = lb * (1.0 - 16.0 * jnp.finfo(best_d.dtype).eps)
 
     def sweep(reverse: bool):
         """One tile's chunk loop; reverse => descending ids with '<='."""

@@ -45,6 +45,40 @@ def test_pallas_batched():
                                   np.asarray(want.index))
 
 
+def test_pallas_prune_boundary_stress():
+    """Adversarial prune-margin stress (ADVICE r2 #1): queries sitting
+    EXACTLY on db points and on tile-bbox corners, with a ZERO-slack
+    q_bound (the exact NN distance²).  The kernel's bbox lower bound is
+    rounded f32 and could exceed the true bound by a few ulp; the
+    one-sided lb deflation must keep the pruned output bit-identical to
+    the unpruned sweep even in this tightest case."""
+    rng = np.random.default_rng(1234)
+    for trial in range(4):
+        m = 2048
+        xs = np.sort(rng.uniform(-100, 100, m)).astype(np.float32)
+        db = np.stack(
+            [xs, rng.uniform(-1, 1, m).astype(np.float32)], axis=1
+        )
+        # Tile-bbox corners for db_tile=256 (lo and hi per tile).
+        t = db.reshape(-1, 256, 2)
+        corners = np.concatenate([t.min(1), t.max(1)], axis=0)
+        q_np = np.concatenate([
+            rng.uniform(-100, 100, (120, 2)).astype(np.float32),
+            db[rng.integers(0, m, 120)],          # exact db copies
+            corners.astype(np.float32),           # exact bbox corners
+        ])
+        q = jnp.asarray(q_np)
+        dbj = jnp.asarray(db)
+        want = nn_pallas(q, dbj, q_tile=128, db_tile=256,
+                         interpret=True, prune=False)
+        got = nn_pallas(q, dbj, q_tile=128, db_tile=256, interpret=True,
+                        prune=True, q_bound=want.dist_sq)
+        np.testing.assert_array_equal(np.asarray(got.index),
+                                      np.asarray(want.index))
+        np.testing.assert_array_equal(np.asarray(got.dist_sq),
+                                      np.asarray(want.dist_sq))
+
+
 def test_pallas_prune_bound_bit_identical():
     """A valid q_bound (prev dist + movement) seeds the prune threshold
     without changing ANY output bit (incl. tie-breaks)."""

@@ -354,3 +354,91 @@ def test_p2l_driver_smoke_on_device():
     assert np.linalg.norm(pred - want, axis=1).max() < 2e-2
     assert int(stats.outer_iters) >= 1
     assert np.isfinite(float(stats.huber_error))
+
+
+# ------------------------------------------- round-3 additions (VERDICT #7)
+
+
+def test_gridhash_on_device():
+    """Grid-hash NN (dynamic gathers, scatter build) on real Mosaic/XLA-TPU:
+    exact-within-radius contract vs the dense sweep."""
+    from icp_rust_tpu.ops.gridhash import build_grid, nn_gridhash
+    from icp_rust_tpu.ops.nn import nn_xla
+
+    rng = np.random.default_rng(21)
+    m, q, r = 1024, 512, 0.3
+    db = jnp.asarray(rng.uniform(-3, 3, (m, 3)), F32)
+    dm = jnp.asarray(rng.random(m) > 0.1)
+    query = jnp.asarray(rng.uniform(-3, 3, (q, 3)), F32)
+    grid = build_grid(db, dm, r, table_size=1 << 12, bucket_cap=32)
+    res = nn_gridhash(query, grid, bucket_cap=32)
+    want = nn_xla(query, db, dm)
+    found = np.isfinite(np.asarray(res.dist_sq))
+    want_found = np.asarray(want.dist_sq) <= r * r
+    np.testing.assert_array_equal(found, want_found)
+    np.testing.assert_allclose(
+        np.asarray(res.dist_sq)[found],
+        np.asarray(want.dist_sq)[want_found], rtol=1e-6,
+    )
+
+
+def test_voxel_hash_scatter_on_device():
+    """Voxel hash insert/centroids (the scatter accumulation path) on
+    device vs a numpy replay: same occupied cells, same centroids."""
+    from icp_rust_tpu.ops import voxel_hash as vh
+
+    rng = np.random.default_rng(22)
+    n, vs = 4096, 0.25
+    pts_np = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    mask_np = rng.random(n) > 0.1
+    pts, mask = jnp.asarray(pts_np), jnp.asarray(mask_np)
+    m = vh.make_map(1 << 14, 3, vh.origin_for(pts, mask, vs))
+    m, dropped = vh.insert(m, pts, mask, vs)
+    assert int(dropped) == 0
+    cent, occ = vh.centroids(m)
+    cent = np.asarray(cent)[np.asarray(occ)]
+
+    # numpy replay: group by integer cell id relative to the same origin
+    origin = np.asarray(m.origin)
+    cell = np.floor((pts_np[mask_np] - origin) / vs).astype(np.int64)
+    key = (cell[:, 0] << 20) + (cell[:, 1] << 10) + cell[:, 2]
+    want = {}
+    for k, p in zip(key, pts_np[mask_np]):
+        s, c = want.get(k, (np.zeros(3), 0))
+        want[k] = (s + p, c + 1)
+    want_cent = np.stack([s / c for s, c in want.values()])
+    assert cent.shape[0] == len(want)
+    # match by nearest (order differs): sort both by lexicographic coords
+    def _sorted(a):
+        return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+    np.testing.assert_allclose(
+        _sorted(cent), _sorted(want_cent.astype(np.float32)),
+        rtol=0, atol=1e-5,
+    )
+
+
+def test_closed_form_eigensolver_on_device():
+    """Closed-form symmetric 3x3 eigensolver vs jnp.linalg.eigh on device
+    (f32): eigenvalues close, smallest-eigenvector parallel where the
+    spectrum is well-separated."""
+    from icp_rust_tpu.ops.linalg import sym3x3_eigh_smallest
+
+    rng = np.random.default_rng(23)
+    b = 4096
+    a = rng.normal(0, 1, (b, 3, 3)).astype(np.float32)
+    cov = a @ np.swapaxes(a, 1, 2)  # PSD symmetric
+    covj = jnp.asarray(cov, F32)
+    evals, v0 = jax.jit(sym3x3_eigh_smallest)(covj)
+    evals = np.asarray(evals)
+    v0 = np.asarray(v0)
+    w_ref, v_ref = np.linalg.eigh(cov.astype(np.float64))
+    scale = np.abs(w_ref[:, 2]) + 1.0
+    np.testing.assert_allclose(
+        evals, w_ref.astype(np.float32), atol=1e-3 * scale[:, None].max(),
+        rtol=1e-3,
+    )
+    # eigenvector check where lam0 is well-separated from lam1
+    sep = (w_ref[:, 1] - w_ref[:, 0]) / scale > 1e-2
+    cosang = np.abs(np.sum(v0[sep] * v_ref[sep, :, 0], axis=-1))
+    nrm = np.linalg.norm(v0[sep], axis=-1)
+    assert np.all(cosang / np.maximum(nrm, 1e-30) > 0.999)
