@@ -64,11 +64,16 @@ def _sort_enabled(src, dst, config: ICPConfig) -> bool:
     f64 parity path stays unsorted via the backend gate."""
     if config.nn_sort == "azimuth":
         return True
+    if config.nn_sort != "auto":
+        return False
+    # The pair-block batched kernel prunes at 128-point chunk
+    # granularity, so sorting pays for any db above a few chunks.
+    if config.nn_backend == "pairs" and src.ndim > 2:
+        return dst.shape[-2] >= 3 * 128
     # Sorting only pays when the db spans enough tiles for the kernel's
     # bbox pruning to bite (nn_pallas skips pruning below 3 tiles).
     return (
-        config.nn_sort == "auto"
-        and dst.shape[-2] >= 3 * config.nn_dst_tile
+        dst.shape[-2] >= 3 * config.nn_dst_tile
         and use_pallas_nn(src, dst, config.nn_backend, config.nn_method)
     )
 

@@ -220,6 +220,16 @@ def nearest_neighbor_matched(
     db point), replacing the caller's post-hoc take_along_axis gather —
     TPU dynamic gathers at 28k rows cost as much as the pruned distance
     sweep itself.  Returns (NNResult, matched (..., Q, P))."""
+    if backend == "pairs" and query.ndim == 3:
+        # Pair-block batched kernel: one pallas_call for MANY small pairs
+        # (multi-pair ICP).  Exact, seeded-prune; see
+        # nn_pallas.nn_pallas_matched_pairs.
+        from icp_rust_tpu.ops import nn_pallas
+
+        return nn_pallas.nn_pallas_matched_pairs(
+            query, db, db_mask, payload=payload, q_bound=q_bound,
+            interpret=not nn_pallas.available(),
+        )
     if use_pallas_nn(query, db, backend, method):
         from icp_rust_tpu.ops import nn_pallas
 

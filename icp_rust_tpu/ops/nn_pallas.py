@@ -689,3 +689,242 @@ def nn_pallas(
     return NNResult(
         index=idx[..., :q], dist_sq=dist[..., :q]
     )
+
+
+# --------------------------------------------------------------------------
+# Pair-block batched NN: many small pairs, ONE pallas_call (VERDICT r2 #2).
+#
+# The batched multi-pair driver (209 consecutive scan pairs at 768 points)
+# cannot use the single-cloud kernels efficiently: vmapping them turns the
+# pair axis into a leading grid dimension whose per-grid-step overhead
+# (~20-30 us) dwarfs each pair's tiny compute (docs/DESIGN.md round-2
+# anti-result).  Here the grid walks BLOCKS of ``pair_blk`` pairs and the
+# kernel loops over the block's pairs and query subtiles IN-KERNEL, so the
+# per-step overhead amortizes over pair_blk * n_q work.
+#
+# Pruning is SEED-ONLY and exact: chunk c is skipped for a query subtile
+# iff the bbox-to-bbox lower bound exceeds the subtile's seeded upper
+# bound on its worst true NN distance (from the ICP outer loop's previous
+# iteration: dist_new <= dist_prev + |dq|).  A pruned chunk's candidates
+# all satisfy dist >= lb > bound >= true_min, so they are in no query's
+# tie set; surviving chunks are visited in ascending order with strict
+# '<', preserving the lowest-index tie-break bit-for-bit.  No in-kernel
+# carry/threshold updates means no cross-lane reductions outside the
+# epilogue — the first (unseeded) ICP iteration simply runs unpruned.
+# --------------------------------------------------------------------------
+
+
+def _nn_pairs_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref,
+                     dist_ref, idx_ref, *rest, d_dim: int, f_dim: int,
+                     n_q: int, m_db: int, pair_blk: int, q_sub: int):
+    """One grid step = ``pair_blk`` whole pairs.
+
+    q_ref:    (pair_blk * n_q, D)       queries, pair-major rows
+    db_ref:   (pair_blk * F, m_db)      coordinate-major db + payload rows
+    qbox_ref: (pair_blk * n_qt, 8)      SMEM per-query-subtile bounds
+    bbox_ref: (pair_blk * n_chunks, 8)  SMEM per-db-chunk bounds
+    qb_ref:   (pair_blk * n_qt, 1)      SMEM seeded prune bounds
+    outputs:  (pair_blk * n_q, 1|f_dim)
+    """
+    if f_dim:
+        pay_ref, best_d, best_c, best_p = rest
+    else:
+        best_d, best_c = rest
+    f_total = d_dim + f_dim
+    n_qt = n_q // q_sub
+    n_chunks = m_db // 128
+    eps = jnp.finfo(best_d.dtype).eps
+    big = jnp.iinfo(jnp.int32).max
+
+    for p in range(pair_blk):
+        qbase = p * n_q
+        for qt in range(n_qt):
+            rowq = p * n_qt + qt
+            bound = qb_ref[rowq, 0]
+            q = q_ref[qbase + qt * q_sub:qbase + (qt + 1) * q_sub, :]
+            best_d[:] = jnp.full_like(best_d, jnp.inf)
+            best_c[:] = jnp.zeros_like(best_c)
+            if f_dim:
+                best_p[:] = jnp.zeros_like(best_p)
+            for c in range(n_chunks):
+                rowc = p * n_chunks + c
+                lb = jnp.asarray(0.0, best_d.dtype)
+                for k in range(d_dim):
+                    a = bbox_ref[rowc, k] - qbox_ref[rowq, 4 + k]
+                    b = qbox_ref[rowq, k] - bbox_ref[rowc, 4 + k]
+                    g = jnp.maximum(jnp.maximum(a, b), 0.0)
+                    lb = lb + g * g
+                # One-sided margin (same argument as _nn_pruned_kernel).
+                lb = lb * (1.0 - 16.0 * eps)
+
+                @pl.when(lb <= bound)
+                def _work(c=c, p=p, q=q):
+                    sl = slice(c * 128, (c + 1) * 128)
+                    dist = jnp.zeros((q_sub, 128), dtype=best_d.dtype)
+                    for k in range(d_dim):
+                        diff = (q[:, k:k + 1]
+                                - db_ref[p * f_total + k:
+                                         p * f_total + k + 1, sl])
+                        dist = dist + diff * diff
+                    better = dist < best_d[:]  # strict: earlier chunk wins
+                    best_d[:] = jnp.where(better, dist, best_d[:])
+                    best_c[:] = jnp.where(better, c, best_c[:])
+                    if f_dim:
+                        for f in range(f_dim):
+                            fr = p * f_total + d_dim + f
+                            best_p[:, f * 128:(f + 1) * 128] = jnp.where(
+                                better, db_ref[fr:fr + 1, sl],
+                                best_p[:, f * 128:(f + 1) * 128],
+                            )
+
+            bd = best_d[:]  # (q_sub, 128)
+            mn = jnp.min(bd, axis=1, keepdims=True)
+            lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+            gidx = best_c[:] * 128 + lane
+            cand = jnp.where(bd == mn, gidx, big)
+            winner = jnp.min(cand, axis=1, keepdims=True)
+            out_sl = slice(qbase + qt * q_sub, qbase + (qt + 1) * q_sub)
+            dist_ref[out_sl, :] = mn
+            idx_ref[out_sl, :] = winner
+            if f_dim:
+                one_hot = cand == winner
+                for f in range(f_dim):
+                    pf = best_p[:, f * 128:(f + 1) * 128]
+                    pay_ref[out_sl, f:f + 1] = jnp.sum(
+                        jnp.where(one_hot, pf, 0.0), axis=1, keepdims=True
+                    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_dim", "q_sub", "pair_blk", "interpret"),
+)
+def _nn_pairs_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
+                   pair_blk: int, interpret: bool):
+    """query: (B, Nq, D); dbf_cm: (B, F, M) sentinel-padded; q_bound:
+    (B, Nq) with -inf on padded rows/pairs.  B % pair_blk == 0,
+    Nq % q_sub == 0, M % 128 == 0."""
+    b, n_q, _ = query.shape
+    f_total, m_db = dbf_cm.shape[1], dbf_cm.shape[2]
+    f_dim = f_total - d_dim
+    n_blk = b // pair_blk
+    n_qt = n_q // q_sub
+    n_chunks = m_db // 128
+
+    qbox = jax.vmap(lambda qq: _query_boxes(qq, q_sub))(query)
+    bbox = jax.vmap(lambda cm: _tile_boxes(cm[:d_dim], 128))(dbf_cm)
+    qb_sub = jnp.max(q_bound.reshape(b, n_qt, q_sub), axis=-1)
+
+    q2 = query.reshape(b * n_q, d_dim)
+    db2 = dbf_cm.reshape(b * f_total, m_db)
+    qbox2 = qbox.reshape(b * n_qt, 8)
+    bbox2 = bbox.reshape(b * n_chunks, 8)
+    qb2 = qb_sub.reshape(b * n_qt, 1)
+
+    kernel = functools.partial(
+        _nn_pairs_kernel, d_dim=d_dim, f_dim=f_dim, n_q=n_q, m_db=m_db,
+        pair_blk=pair_blk, q_sub=q_sub,
+    )
+    in_specs = [
+        pl.BlockSpec((pair_blk * n_q, d_dim), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pair_blk * f_total, m_db), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pair_blk * n_qt, 8), lambda i: (i, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((pair_blk * n_chunks, 8), lambda i: (i, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((pair_blk * n_qt, 1), lambda i: (i, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((pair_blk * n_q, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pair_blk * n_q, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * n_q, 1), query.dtype),
+        jax.ShapeDtypeStruct((b * n_q, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((q_sub, 128), query.dtype),
+        pltpu.VMEM((q_sub, 128), jnp.int32),
+    ]
+    if f_dim:
+        out_specs.append(
+            pl.BlockSpec((pair_blk * n_q, f_dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b * n_q, f_dim), query.dtype)
+        )
+        scratch.append(pltpu.VMEM((q_sub, 128 * f_dim), query.dtype))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(q2, db2, qbox2, bbox2, qb2)
+    if f_dim:
+        dist, idx, pay = out
+        return (dist.reshape(b, n_q), idx.reshape(b, n_q),
+                pay.reshape(b, n_q, f_dim))
+    dist, idx = out
+    return dist.reshape(b, n_q), idx.reshape(b, n_q), None
+
+
+def nn_pallas_matched_pairs(
+    query: Array,
+    db: Array,
+    db_mask: Array | None = None,
+    payload: Array | None = None,
+    q_bound: Array | None = None,
+    pair_blk: int = 8,
+    q_sub: int = 256,
+    interpret: bool = False,
+):
+    """Batched many-pair exact 1-NN with matched payload: (B, Nq, D)
+    queries vs (B, M, D) dbs in ONE pallas_call (see module section
+    comment).  Returns (NNResult (B, Nq), matched (B, Nq, P)); same
+    contract (incl. tie-breaks) as per-pair nn_pallas_matched."""
+    b, n_q, d_dim = query.shape
+    m = db.shape[1]
+    if payload is None:
+        payload = db
+    f_dim = payload.shape[-1]
+
+    b_pad = _round_up(b, pair_blk)
+    q_pad = _round_up(n_q, q_sub)
+    m_pad = _round_up(m, 128)
+
+    sentinel = jnp.asarray(_SENTINEL, db.dtype)
+    if db_mask is not None:
+        db = jnp.where(db_mask[..., None], db, sentinel)
+    db_p = jnp.pad(db, ((0, b_pad - b), (0, m_pad - m), (0, 0)),
+                   constant_values=_SENTINEL)
+    pay_p = jnp.pad(payload, ((0, b_pad - b), (0, m_pad - m), (0, 0)))
+    dbf_cm = jnp.concatenate(
+        [jnp.swapaxes(db_p, -1, -2), jnp.swapaxes(pay_p, -1, -2)], axis=1
+    )  # (B, D+F, M)
+
+    query_p = jnp.pad(query, ((0, b_pad - b), (0, q_pad - n_q), (0, 0)))
+    if q_bound is None:
+        qb = jnp.full((b, n_q), jnp.inf, query.dtype)
+    else:
+        qb = q_bound.astype(query.dtype)
+    # Padded queries/pairs carry -inf bounds: their subtiles prune every
+    # chunk and cost (almost) nothing.
+    qb = jnp.pad(qb, ((0, b_pad - b), (0, q_pad - n_q)),
+                 constant_values=-jnp.inf)
+
+    dist, idx, pay = _nn_pairs_impl(
+        query_p, dbf_cm, qb, d_dim, q_sub, pair_blk, interpret
+    )
+    dist = _trim_sentinel(dist[:b, :n_q])
+    res = NNResult(index=idx[:b, :n_q], dist_sq=dist)
+    return res, pay[:b, :n_q, :]

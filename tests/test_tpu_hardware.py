@@ -442,3 +442,61 @@ def test_closed_form_eigensolver_on_device():
     cosang = np.abs(np.sum(v0[sep] * v_ref[sep, :, 0], axis=-1))
     nrm = np.linalg.norm(v0[sep], axis=-1)
     assert np.all(cosang / np.maximum(nrm, 1e-30) > 0.999)
+
+
+def test_pairs_kernel_on_device():
+    """Pair-block batched NN (one pallas_call for many small pairs) on
+    real Mosaic: XLA-sweep parity incl. ties, plus seeded-bound
+    bit-identity and whole-batched-ICP agreement."""
+    import dataclasses
+
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.geometry.transform2d import RigidTransform2
+    from icp_rust_tpu.ops.nn import nn_xla
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas_matched_pairs
+    from icp_rust_tpu.parallel.sharded import batched_icp2d
+
+    rng = np.random.default_rng(31)
+    b, n, m = 11, 640, 768
+    q = jnp.asarray(rng.uniform(-3, 3, (b, n, 2)), F32)
+    db = jnp.asarray(rng.uniform(-3, 3, (b, m, 2)), F32)
+    dm = jnp.asarray(rng.random((b, m)) > 0.1)
+    res, matched = nn_pallas_matched_pairs(q, db, dm, pair_blk=4)
+    want = nn_xla(q, db, dm)
+    np.testing.assert_array_equal(np.asarray(res.index),
+                                  np.asarray(want.index))
+    gathered = jnp.take_along_axis(db, want.index[..., None], axis=-2)
+    np.testing.assert_array_equal(np.asarray(matched),
+                                  np.asarray(gathered))
+
+    # Seeded bound: bit-identical outputs.
+    q2 = q + jnp.asarray(rng.normal(0, 0.05, q.shape), F32)
+    move = jnp.linalg.norm(q2 - q, axis=-1)
+    qb = (jnp.sqrt(res.dist_sq) + move) ** 2
+    got, gp = nn_pallas_matched_pairs(q2, db, dm, q_bound=qb, pair_blk=4)
+    ref, rp = nn_pallas_matched_pairs(q2, db, dm, pair_blk=4)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(ref.index))
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(rp))
+
+    # End-to-end batched ICP: pairs backend == XLA backend bit-for-bit
+    # under the same (sorted) layout.
+    base = rng.uniform(-2, 2, (b, 512, 2)).astype(np.float32)
+    ths = rng.uniform(-0.05, 0.05, b)
+    shift = rng.uniform(-0.05, 0.05, (b, 1, 2)).astype(np.float32)
+    rot = np.stack([np.array([[np.cos(t), -np.sin(t)],
+                              [np.sin(t), np.cos(t)]]) for t in ths])
+    dst2 = np.einsum("bij,bnj->bni", rot, base) + shift
+    srcj = jnp.asarray(base)
+    dstj = jnp.asarray(dst2.astype(np.float32))
+    mask = jnp.ones((b, 512), bool)
+    cfg = ICPConfig(compute_dtype=F32, point_scale=1.0, det_rel_eps=1e-9,
+                    nn_sort="azimuth", nn_backend="xla")
+    t0 = RigidTransform2.identity((b,), F32)
+    out_x = batched_icp2d(srcj, dstj, mask, mask, t0, config=cfg)
+    cfg_p = dataclasses.replace(cfg, nn_backend="pairs")
+    out_p = batched_icp2d(srcj, dstj, mask, mask, t0, config=cfg_p)
+    np.testing.assert_array_equal(np.asarray(out_x.t),
+                                  np.asarray(out_p.t))
+    np.testing.assert_array_equal(np.asarray(out_x.rot),
+                                  np.asarray(out_p.rot))
