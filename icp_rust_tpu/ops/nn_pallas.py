@@ -721,15 +721,20 @@ def _nn_pairs_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref,
 
     q_ref:    (pair_blk * n_q, D)       queries, pair-major rows
     db_ref:   (pair_blk * F, m_db)      coordinate-major db + payload rows
-    qbox_ref: (pair_blk * n_qt, 8)      SMEM per-query-subtile bounds
-    bbox_ref: (pair_blk * n_chunks, 8)  SMEM per-db-chunk bounds
-    qb_ref:   (pair_blk * n_qt, 1)      SMEM seeded prune bounds
+    qbox_ref: (B * n_qt, 8)      SMEM per-query-subtile bounds (WHOLE)
+    bbox_ref: (B * n_chunks, 8)  SMEM per-db-chunk bounds (WHOLE)
+    qb_ref:   (B * n_qt, 1)      SMEM seeded prune bounds (WHOLE)
     outputs:  (pair_blk * n_q, 1|f_dim)
+
+    The SMEM tables are passed UNBLOCKED (Mosaic requires blocked sublane
+    dims to be multiples of 8, which pair_blk*n_qt generally is not) and
+    indexed with the grid id.
     """
     if f_dim:
         pay_ref, best_d, best_c, best_p = rest
     else:
         best_d, best_c = rest
+    blk = pl.program_id(0)
     f_total = d_dim + f_dim
     n_qt = n_q // q_sub
     n_chunks = m_db // 128
@@ -739,7 +744,7 @@ def _nn_pairs_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref,
     for p in range(pair_blk):
         qbase = p * n_q
         for qt in range(n_qt):
-            rowq = p * n_qt + qt
+            rowq = (blk * pair_blk + p) * n_qt + qt
             bound = qb_ref[rowq, 0]
             q = q_ref[qbase + qt * q_sub:qbase + (qt + 1) * q_sub, :]
             best_d[:] = jnp.full_like(best_d, jnp.inf)
@@ -747,7 +752,7 @@ def _nn_pairs_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref,
             if f_dim:
                 best_p[:] = jnp.zeros_like(best_p)
             for c in range(n_chunks):
-                rowc = p * n_chunks + c
+                rowc = (blk * pair_blk + p) * n_chunks + c
                 lb = jnp.asarray(0.0, best_d.dtype)
                 for k in range(d_dim):
                     a = bbox_ref[rowc, k] - qbox_ref[rowq, 4 + k]
@@ -830,12 +835,12 @@ def _nn_pairs_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((pair_blk * f_total, m_db), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((pair_blk * n_qt, 8), lambda i: (i, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((pair_blk * n_chunks, 8), lambda i: (i, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((pair_blk * n_qt, 1), lambda i: (i, 0),
-                     memory_space=pltpu.SMEM),
+        # Whole-array SMEM (blocked sublane dims would need to be
+        # 8-multiples, which pair_blk*n_qt generally is not); the kernel
+        # offsets rows by program_id.
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     out_specs = [
         pl.BlockSpec((pair_blk * n_q, 1), lambda i: (i, 0),

@@ -131,6 +131,8 @@ def synthesize_scans3d(
     """
     import h5py
 
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     rng = np.random.default_rng(seed)
     world = _make_world(rng)
     traj = ground_truth_trajectory(n_frames)
