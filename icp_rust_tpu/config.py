@@ -62,8 +62,12 @@ class ICPConfig:
     # NN tile sizes: nn_dst_tile is the database tile of BOTH the XLA
     # sweep and the Pallas kernel; nn_query_tile is the Pallas query
     # tile.  Defaults are the measured-best on v5e at 28800^2
-    # (benchmarks/profile_nn_tiles.py / profile_overhead2.py).
-    nn_query_tile: int = 512
+    # (benchmarks/profile_nn_tiles.py / profile_overhead2.py).  The
+    # round-3 survivor-list kernel prunes per (query tile, 128-pt
+    # chunk), so SMALLER query tiles tighten the per-tile bound (one
+    # outlier query inflates a whole tile's survivor set): 256 measured
+    # 140 vs 512's 115 frames/s on the 3D headline.
+    nn_query_tile: int = 256
     nn_dst_tile: int = 2048
     # Spatial pre-sort of the point clouds before correspondence search:
     # "auto" (azimuth sort whenever the pruned Pallas NN kernel is

@@ -35,9 +35,9 @@ from icp_rust_tpu.config import ICPConfig
 from icp_rust_tpu.geometry.transform2d import RigidTransform2
 from icp_rust_tpu.ops import align2d
 from icp_rust_tpu.ops.nn import (
-    azimuth_order,
     nearest_neighbor,
     nearest_neighbor_matched,
+    spatial_order,
     use_pallas_nn,
 )
 
@@ -56,32 +56,38 @@ def _unscale_transform(t: RigidTransform2, s: float) -> RigidTransform2:
     return RigidTransform2(rot=t.rot, t=t.t * s) if s != 1.0 else t
 
 
-def _sort_enabled(src, dst, config: ICPConfig) -> bool:
-    """Azimuth pre-sort policy (config.nn_sort).  Sorting the point axis
-    is what makes the pruned Pallas kernel's tile bboxes spatially tight;
-    it permutes reduction order only (the GN solve is a sum over pairs),
-    so results differ from the unsorted run at f32 roundoff at most.  The
-    f64 parity path stays unsorted via the backend gate."""
-    if config.nn_sort == "azimuth":
-        return True
+def _sort_enabled(src, dst, config: ICPConfig):
+    """Spatial pre-sort policy (config.nn_sort).  Sorting the point axis
+    is what makes the pruned Pallas kernels' bbox pruning spatially
+    tight; it permutes reduction order only (the GN solve is a sum over
+    pairs), so results differ from the unsorted run at f32 roundoff at
+    most.  The f64 parity path stays unsorted via the backend gate.
+
+    Returns the sort method to use ("morton" | "azimuth") or None.
+    "auto" resolves to Morton: Z-order buckets are compact 2D patches,
+    so the chunk-granular survivor-list kernel prunes ~7x more than
+    under azimuth sectors (ops/nn.morton_order docstring)."""
+    if config.nn_sort in ("azimuth", "morton"):
+        return config.nn_sort
     if config.nn_sort != "auto":
-        return False
+        return None
     # The pair-block batched kernel prunes at 128-point chunk
     # granularity, so sorting pays for any db above a few chunks.
     if config.nn_backend == "pairs" and src.ndim > 2:
-        return dst.shape[-2] >= 3 * 128
+        return "morton" if dst.shape[-2] >= 3 * 128 else None
     # Sorting only pays when the db spans enough tiles for the kernel's
     # bbox pruning to bite (nn_pallas skips pruning below 3 tiles).
-    return (
+    ok = (
         dst.shape[-2] >= 3 * config.nn_dst_tile
         and use_pallas_nn(src, dst, config.nn_backend, config.nn_method)
     )
+    return "morton" if ok else None
 
 
-def _spatial_sort(points, mask, extras=()):
-    """Sort the point axis by azimuth (masked points last).  extras are
+def _spatial_sort(points, mask, extras=(), method: str = "morton"):
+    """Sort the point axis spatially (masked points last).  extras are
     per-point arrays permuted alongside ((..., N, K) or (..., N))."""
-    order = azimuth_order(points, mask)
+    order = spatial_order(points, mask, method)
     pts = jnp.take_along_axis(points, order[..., None], axis=-2)
     msk = jnp.take_along_axis(mask, order, axis=-1)
     out = []
@@ -227,11 +233,12 @@ def icp2d(
     t0 = _scale_transform(
         initial_transform.astype(config.compute_dtype), s
     )
-    if _sort_enabled(src, dst, config):
+    sort = _sort_enabled(src, dst, config)
+    if sort:
         # Once per call (outer iterations reuse the order: a rigid motion
-        # shifts azimuth near-uniformly, preserving tile locality).
-        src, src_mask, _ = _spatial_sort(src, src_mask)
-        dst, dst_mask, _ = _spatial_sort(dst, dst_mask)
+        # preserves spatial clustering, so tile locality persists).
+        src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
+        dst, dst_mask, _ = _spatial_sort(dst, dst_mask, method=sort)
 
     def outer(t, aux):
         prev_d2, prev_q = aux[0], aux[1]
@@ -295,9 +302,10 @@ def icp3d_planar(
     t0 = _scale_transform(
         initial_transform.astype(config.compute_dtype), s
     )
-    if _sort_enabled(src, dst, config):
-        src, src_mask, _ = _spatial_sort(src, src_mask)
-        dst, dst_mask, _ = _spatial_sort(dst, dst_mask)
+    sort = _sort_enabled(src, dst, config)
+    if sort:
+        src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
+        dst, dst_mask, _ = _spatial_sort(dst, dst_mask, method=sort)
 
     def transform_xy(t: RigidTransform2, pts: Array) -> Array:
         xy = t.apply_points(pts[..., :2])

@@ -98,11 +98,11 @@ def icp_point_to_plane(
 
     sort = _sort_enabled(src, dst, config)
     if sort:
-        src, src_mask, _ = _spatial_sort(src, src_mask)
+        src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
 
     if dst_normals is None:
         if sort:
-            dst, dst_mask, _ = _spatial_sort(dst, dst_mask)
+            dst, dst_mask, _ = _spatial_sort(dst, dst_mask, method=sort)
         if normals_method == "voxel":
             fn = estimate_normals_voxel
             for _ in range(dst.ndim - 2):  # (..., M, 3) -> vmap batch dims
@@ -117,7 +117,7 @@ def icp_point_to_plane(
         n_valid = dst_mask
         if sort:
             dst, dst_mask, (normals, n_valid) = _spatial_sort(
-                dst, dst_mask, (normals, n_valid)
+                dst, dst_mask, (normals, n_valid), method=sort
             )
 
     # Per-point payload riding the NN carry, replacing three 28k-row

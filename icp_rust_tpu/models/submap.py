@@ -12,8 +12,8 @@ Two map representations:
   pure gather/scatter updates, no argsort — so the WHOLE sequence runs as
   one ``lax.scan`` program: a single device dispatch instead of one per
   frame (~27 ms of tunnel latency each on the remote TPU).  Each frame
-  re-sorts the map view by azimuth around the sensor so the NN kernel's
-  bbox pruning stays effective despite the hash-random slot order, and
+  re-sorts the map view into Morton order so the NN kernels' bbox
+  pruning stays effective despite the hash-random slot order, and
   a constant-velocity warm start cuts the outer iterations.
 - **Re-voxelize** (``fused=False``): the original per-frame loop that
   re-voxelizes map+scan with the sort-based ``ops.voxel`` pass — kept as
@@ -85,7 +85,7 @@ def run_submap_odometry(
     fused: bool = True,
     probes: int = 8,
     with_metrics: bool = False,
-    resort_every: int = 4,
+    resort_every: int = 1,
 ):
     """frames: (F, N, D) padded; masks: (F, N).  Frame 0 seeds the map.
     Returns (transforms scan->map per frame, trajectory (F-1, 2) of sensor
@@ -145,7 +145,7 @@ def run_submap_odometry(
 )
 def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
                 capacity: int, probes: int, with_metrics: bool = False,
-                resort_every: int = 4):
+                resort_every: int = 1):
     """Module-level jit (NOT a per-call closure: retracing+relowering this
     program costs ~9 s per call — it dwarfed the device time until the
     cache was made shared)."""
@@ -157,12 +157,16 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
     m, d0 = vh.insert(m, pts[0], msk[0], voxel_size, probes)
     t0 = RigidTransform2.identity(dtype=dtype)
 
-    # Queries in azimuth order (sensor frame) to match the per-frame map
-    # sort in the scan body; ONE vectorized pre-pass over all frames
-    # (sorting inside the body would re-pay it per frame).  Permutes the
-    # point axis only (f32 reduction order).
-    qaz = jnp.arctan2(pts[..., 1], pts[..., 0])
-    qorder = jnp.argsort(jnp.where(msk, qaz, jnp.inf), axis=-1)
+    # Queries in Morton order (sensor frame; rigid motion preserves the
+    # clustering) to match the per-frame map sort in the scan body; ONE
+    # vectorized pre-pass over all frames (sorting inside the body would
+    # re-pay it per frame).  Permutes the point axis only (f32 reduction
+    # order).  Morton (not azimuth): the round-3 survivor-list NN kernel
+    # prunes per 128-pt chunk, and compact Z-order patches leave ~7x
+    # fewer surviving chunks than azimuth sectors (ops/nn.morton_order).
+    from icp_rust_tpu.ops.nn import spatial_order
+
+    qorder = spatial_order(pts, msk, "morton")
     pts = jnp.take_along_axis(pts, qorder[..., None], axis=-2)
     msk = jnp.take_along_axis(msk, qorder, axis=-1)
 
@@ -179,27 +183,29 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
         )
         map_pts, map_mask = vh.centroids(m)
 
-        # Map view sorted by AZIMUTH AROUND THE SENSOR: hash-random slot
-        # order defeats the NN kernel's bbox tile pruning, and real scans
-        # arrive azimuth-ordered, so this aligns the map layout with the
-        # query layout — the kernel's diagonal-first visit order then
-        # finds each query tile's match immediately and prunes the rest
-        # (empty slots sort to the end via +inf).  The full-capacity
+        # Map view in MORTON ORDER: hash-random slot order defeats the NN
+        # kernels' bbox pruning; compact Z-order patches give both the
+        # zig-zag kernel's tile pruning and the survivor-list kernel's
+        # chunk pruning tight boxes (azimuth sectors all meet near the
+        # sensor and saturate the chunk-level bound test).  Empty slots
+        # sort to the end (masked -> max code).  The full-capacity
         # argsort was the dominant per-frame cost (VERDICT r2 weak #5),
         # so the ORDER IS REFRESHED only every ``resort_every`` frames
         # and carried in between: a stale order is still a permutation of
         # all slots, existing cells stay exactly as coherent as at the
         # last refresh (the sensor moves little in K frames), and cells
         # claimed since then simply surface at their slots' old positions
-        # in the +inf tail — a few incoherent (never-pruned) tiles, not a
+        # in the tail — a few incoherent (never-pruned) tiles, not a
         # correctness issue since pruning is exact under ANY layout.
+        # MEASURED ANTI-RESULT (round 3): the default is 1 (re-sort
+        # every frame) — the argsort itself is cheap, and K=4 cost
+        # 50.6 -> 37.6 frames/s because the stale order's decayed
+        # coherence inflates the NN kernels' surviving-chunk sets far
+        # more than the sort saves.  The knob stays for experiments.
         def _resort(_):
-            az = jnp.arctan2(
-                map_pts[:, 1] - t.t[1], map_pts[:, 0] - t.t[0]
-            )
-            return jnp.argsort(
-                jnp.where(map_mask, az, jnp.inf)
-            ).astype(jnp.int32)
+            from icp_rust_tpu.ops.nn import morton_order
+
+            return morton_order(map_pts, map_mask)
 
         order = jax.lax.cond(
             i % resort_every == 0, _resort, lambda _: order, None
@@ -241,11 +247,11 @@ def _run_fused(frames, masks, config, voxel_size, capacity, probes,
     dtype = config.compute_dtype
     pts = jnp.asarray(frames, dtype)
     msk = jnp.asarray(masks)
-    # nn_sort="none" suppresses the DRIVER's per-call azimuth sort only:
-    # the scan body itself re-sorts the map view around the sensor every
-    # frame (see _fused_scan) and the queries are pre-sorted once, so
-    # the pruned kernel still gets spatially-coherent layouts — the
-    # driver sorting again on top would be pure redundant work.
+    # nn_sort="none" suppresses the DRIVER's per-call spatial sort only:
+    # the scan body itself keeps the map view Morton-ordered (see
+    # _fused_scan) and the queries are pre-sorted once, so the pruned
+    # kernels still get spatially-coherent layouts — the driver sorting
+    # again on top would be pure redundant work.
     cfg = dataclasses.replace(config, nn_sort="none")
     out = _fused_scan(pts, msk, cfg, float(voxel_size),
                       int(capacity), int(probes), bool(with_metrics),

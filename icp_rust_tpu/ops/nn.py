@@ -154,6 +154,55 @@ def azimuth_order(points: Array, mask: Array | None = None) -> Array:
     return jnp.argsort(az, axis=-1).astype(jnp.int32)
 
 
+def _spread_bits10(v: Array) -> Array:
+    """Interleave-ready bit spread of a 10-bit int32: abcdefghij ->
+    a0b0c0d0e0f0g0h0i0j (Morton component)."""
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def morton_order(points: Array, mask: Array | None = None) -> Array:
+    """Permutation sorting points along a 2D Morton (Z-order) curve on
+    (x, y), masked points last.
+
+    Alternative spatial pre-sort to :func:`azimuth_order` for the pruned
+    Pallas kernels.  Azimuth sectors make long thin boxes that all meet
+    near the sensor, so fine-grained bbox pruning saturates (round-3
+    measurement: p50 60/225 surviving 128-pt chunks per query tile);
+    Z-order buckets are COMPACT 2D patches and the same bound test leaves
+    p50 8/225.  The z coordinate (when present) is ignored for ordering —
+    LiDAR scenes are z-thin — but still bounds distances via the chunk
+    boxes.  Like the azimuth sort this only permutes the point axis
+    (f32 reduction order); exactness of the NN result is unaffected.
+    """
+    x, y = points[..., 0], points[..., 1]
+
+    def _q10(v):
+        lo = jnp.min(v, axis=-1, keepdims=True)
+        hi = jnp.max(v, axis=-1, keepdims=True)
+        t = (v - lo) / jnp.maximum(hi - lo, jnp.asarray(1e-30, v.dtype))
+        return jnp.clip((t * 1023.0).astype(jnp.int32), 0, 1023)
+
+    code = _spread_bits10(_q10(x)) | (_spread_bits10(_q10(y)) << 1)
+    if mask is not None:
+        code = jnp.where(mask, code, jnp.iinfo(jnp.int32).max)
+    # Stable sort keeps masked points' relative order deterministic.
+    return jnp.argsort(code, axis=-1, stable=True).astype(jnp.int32)
+
+
+def spatial_order(points: Array, mask: Array | None = None,
+                  method: str = "morton") -> Array:
+    """Dispatch to the configured spatial pre-sort (config.nn_sort)."""
+    if method == "azimuth":
+        return azimuth_order(points, mask)
+    if method == "morton":
+        return morton_order(points, mask)
+    raise ValueError(f"unknown spatial sort method: {method!r}")
+
+
 def use_pallas_nn(query: Array, db: Array, backend: str = "auto",
                   method: str = "direct") -> bool:
     """Trace-time resolution of the NN backend dispatch (shared by

@@ -98,3 +98,94 @@ def test_pallas_prune_bound_bit_identical():
                                   np.asarray(want.index))
     np.testing.assert_array_equal(np.asarray(got.dist_sq),
                                   np.asarray(want.dist_sq))
+
+
+def test_list_kernel_matched_warm_bit_identical():
+    """Finite seeds route to the survivor-list kernel (_nn_seeded_2d);
+    outputs incl. payload must be bit-identical to the unpruned sweep."""
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas_matched
+    from icp_rust_tpu.ops.nn import morton_order
+
+    rng = np.random.default_rng(77)
+    q_np = rng.uniform(-3, 3, (700, 3)).astype(np.float32)
+    db_np = rng.uniform(-3, 3, (2048, 3)).astype(np.float32)
+    dm_np = rng.random(2048) > 0.1
+    order = np.asarray(morton_order(jnp.asarray(db_np),
+                                    jnp.asarray(dm_np)))
+    db = jnp.asarray(db_np[order])
+    dm = jnp.asarray(dm_np[order])
+    q = jnp.asarray(q_np)
+    pay = db[:, :2]
+    want, want_p = nn_pallas_matched(q, db, dm, payload=pay, q_tile=128,
+                                     db_tile=256, interpret=True,
+                                     prune=False)
+    qb = want.dist_sq * (1 + 32 * np.finfo(np.float32).eps)
+    got, got_p = nn_pallas_matched(q, db, dm, payload=pay, q_tile=128,
+                                   db_tile=256, interpret=True,
+                                   prune=True, q_bound=qb)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    np.testing.assert_array_equal(np.asarray(got.dist_sq),
+                                  np.asarray(want.dist_sq))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_list_kernel_overflow_falls_back_to_full_sweep():
+    """A finite but huge bound makes every chunk survive (> cap) -> the
+    kernel's full-sweep fallback; still bit-identical."""
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas_matched
+
+    rng = np.random.default_rng(78)
+    q = jnp.asarray(rng.uniform(-3, 3, (256, 2)), jnp.float32)
+    db = jnp.asarray(rng.uniform(-3, 3, (1536, 2)), jnp.float32)
+    want, want_p = nn_pallas_matched(q, db, q_tile=128, db_tile=256,
+                                     interpret=True, prune=False)
+    qb = jnp.full((256,), 1e30, jnp.float32)  # finite => warm dispatch
+    got, got_p = nn_pallas_matched(q, db, q_tile=128, db_tile=256,
+                                   interpret=True, prune=True,
+                                   q_bound=qb)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_seeded_dispatch_cold_uses_zigzag():
+    """All-inf bounds (ICP iteration 1) -> the cold branch; output still
+    bit-identical to the unpruned sweep."""
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas_matched
+
+    rng = np.random.default_rng(79)
+    q = jnp.asarray(rng.uniform(-3, 3, (256, 3)), jnp.float32)
+    db = jnp.asarray(rng.uniform(-3, 3, (1536, 3)), jnp.float32)
+    want, want_p = nn_pallas_matched(q, db, q_tile=128, db_tile=256,
+                                     interpret=True, prune=False)
+    qb = jnp.full((256,), jnp.inf, jnp.float32)
+    got, got_p = nn_pallas_matched(q, db, q_tile=128, db_tile=256,
+                                   interpret=True, prune=True,
+                                   q_bound=qb)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_morton_order_properties():
+    """Morton order is a valid permutation, masked points land last, and
+    nearby points cluster (locality sanity)."""
+    from icp_rust_tpu.ops.nn import morton_order
+
+    rng = np.random.default_rng(80)
+    pts = jnp.asarray(rng.uniform(-5, 5, (1000, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random(1000) > 0.2)
+    order = np.asarray(morton_order(pts, mask))
+    assert sorted(order.tolist()) == list(range(1000))
+    m_np = np.asarray(mask)
+    n_valid = int(m_np.sum())
+    assert not m_np[order][n_valid:].any()
+    # locality: mean distance between order-adjacent VALID points is far
+    # below the mean distance of random pairs
+    p = np.asarray(pts)[order][:n_valid]
+    adj = np.linalg.norm(np.diff(p, axis=0), axis=1).mean()
+    rand = np.linalg.norm(
+        p[rng.integers(0, n_valid, 500)] - p[rng.integers(0, n_valid, 500)],
+        axis=1).mean()
+    assert adj < rand / 3

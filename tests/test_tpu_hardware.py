@@ -500,3 +500,47 @@ def test_pairs_kernel_on_device():
                                   np.asarray(out_p.t))
     np.testing.assert_array_equal(np.asarray(out_x.rot),
                                   np.asarray(out_p.rot))
+
+
+def test_list_kernel_on_device():
+    """Survivor-list NN kernel (round-3 warm path): compiled-Mosaic
+    bit-exactness vs the unpruned sweep, Morton-sorted 28800-pt clouds,
+    zero-slack seeds, payload riding along; plus cold/warm dispatch."""
+    from icp_rust_tpu.ops.nn import morton_order, nn_xla
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas_matched
+
+    rng = np.random.default_rng(42)
+    n = 28800
+    ang = rng.uniform(-np.pi, np.pi, n)
+    rad = rng.uniform(0.3, 20.0, n)
+    db_np = np.stack([
+        rad * np.cos(ang), rad * np.sin(ang),
+        rng.uniform(-0.5, 2.0, n),
+    ], axis=1).astype(np.float32)
+    q_np = (db_np + rng.normal(0, 0.02, db_np.shape)).astype(np.float32)
+    dm_np = rng.random(n) > 0.02
+    do = np.asarray(morton_order(jnp.asarray(db_np), jnp.asarray(dm_np)))
+    qo = np.asarray(morton_order(jnp.asarray(q_np), None))
+    db = jnp.asarray(db_np[do]); dm = jnp.asarray(dm_np[do])
+    q = jnp.asarray(q_np[qo])
+    pay = db[:, :2]
+
+    want, want_p = nn_pallas_matched(q, db, dm, payload=pay, q_tile=256,
+                                     db_tile=2048, prune=False)
+    # warm: exact-distance seeds (tightest valid bound)
+    qb = want.dist_sq * (1 + 32 * np.finfo(np.float32).eps)
+    got, got_p = nn_pallas_matched(q, db, dm, payload=pay, q_tile=256,
+                                   db_tile=2048, prune=True, q_bound=qb)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(want.index))
+    np.testing.assert_array_equal(np.asarray(got.dist_sq),
+                                  np.asarray(want.dist_sq))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    # cold: +inf seeds dispatch to the zig-zag branch
+    qb_inf = jnp.full((n,), jnp.inf, F32)
+    cold, cold_p = nn_pallas_matched(q, db, dm, payload=pay, q_tile=256,
+                                     db_tile=2048, prune=True,
+                                     q_bound=qb_inf)
+    np.testing.assert_array_equal(np.asarray(cold.index),
+                                  np.asarray(want.index))
+    np.testing.assert_array_equal(np.asarray(cold_p), np.asarray(want_p))
