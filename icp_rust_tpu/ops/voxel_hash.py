@@ -86,15 +86,31 @@ def insert(
     mask: Array,
     voxel_size: float,
     probes: int = 8,
+    compact_to: int = 7168,
 ):
     """Accumulate ``points[mask]`` into their voxels.  Returns
     (updated map, dropped count) — dropped = points whose cell could not
-    claim a slot within ``probes`` rounds (table too full) PLUS points
+    claim a slot within ``probes`` rounds (table too full, or more than
+    ``compact_to`` points still unresolved after round 1) PLUS points
     outside the fixed 1024^D cell box around ``m.origin`` (a trajectory
     leaving the ~1024*voxel_size box stops extending the map; counting
-    those here lets callers' capacity warnings fire, ADVICE r2 #3)."""
+    those here lets callers' capacity warnings fire, ADVICE r2 #3).
+
+    Cost shape (round-3 device profile): each probe round is a fixed
+    sequence of gathers/scatters whose cost scales with the ROW count,
+    ~0.8 ms at 28,800 rows — and after round 1 the only rows still
+    active are NEW cells whose home slot was occupied by a different
+    key (duplicate points of a cell all win together; existing cells
+    hit in round 1).  So the active set is COMPACTED once after round 1
+    (one cheap argsort + small gathers) and rounds 2..probes run at
+    ``compact_to`` rows (~1/4 the cost at the 28,800-pt default).  More
+    than ``compact_to`` unresolved actives only happens on a nearly
+    full or adversarially colliding table; the overflow is counted in
+    ``dropped`` exactly like probe exhaustion.  psum and cnt scatter as
+    ONE fused (D+1)-lane scatter-add per round."""
     capacity = m.key.shape[0]
     dtype = m.psum.dtype
+    dim = points.shape[-1]
     shift = 32 - int(capacity).bit_length() + 1  # log2(capacity) high bits
 
     cid, active = _cell_ids(points, mask, m.origin, voxel_size)
@@ -106,22 +122,55 @@ def insert(
     # Odd step -> full cycle over the power-of-two table.
     stp = (((cidu * jnp.uint32(2246822519)) >> shift) | 1).astype(jnp.int32)
 
-    key, psum, cnt = m.key, m.psum, m.cnt
-    slot = h
-    for _ in range(probes):
+    key = m.key
+    # psum and cnt ride one table so each round needs ONE scatter-add.
+    acc = jnp.concatenate([m.psum, m.cnt[:, None]], axis=1)
+    vals = jnp.concatenate(
+        [points, jnp.ones((*points.shape[:-1], 1), dtype)], axis=-1
+    )
+
+    def round_(key, acc, slot, active):
         cur = key[slot]
         # Claim empty slots: min over competing cids (claims never touch
         # occupied slots — those points re-probe next round).
-        claim = jnp.where(active & (cur == _EMPTY), cid, _EMPTY)
+        claim = jnp.where(active & (cur == _EMPTY), cid_r[0], _EMPTY)
         key = key.at[slot].min(claim)
-        won = active & (key[slot] == cid)
+        won = active & (key[slot] == cid_r[0])
         addf = won.astype(dtype)
-        psum = psum.at[slot].add(points * addf[..., None])
-        cnt = cnt.at[slot].add(addf)
-        active = active & ~won
+        acc = acc.at[slot].add(vals_r[0] * addf[..., None])
+        return key, acc, active & ~won
+
+    # Round 1 at full row count.
+    cid_r, vals_r = [cid], [vals]
+    slot = h
+    key, acc, active = round_(key, acc, slot, active)
+    slot = (slot + stp) & (capacity - 1)
+
+    overflow = jnp.int32(0)
+    n_rows = points.shape[0]
+    if probes > 1 and n_rows > compact_to:
+        # Actives-first stable order; everything past compact_to drops.
+        order = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+        idx = order[:compact_to]
+        kept_active = active[idx]
+        overflow = (
+            jnp.sum(active.astype(jnp.int32))
+            - jnp.sum(kept_active.astype(jnp.int32))
+        )
+        cid_r[0] = cid[idx]
+        vals_r[0] = vals[idx]
+        stp = stp[idx]
+        slot = slot[idx]
+        active = kept_active
+    for _ in range(probes - 1):
+        key, acc, active = round_(key, acc, slot, active)
         slot = (slot + stp) & (capacity - 1)
-    dropped = jnp.sum(active.astype(jnp.int32)) + n_out_of_box
-    return m._replace(key=key, psum=psum, cnt=cnt), dropped
+
+    dropped = jnp.sum(active.astype(jnp.int32)) + n_out_of_box + overflow
+    return (
+        m._replace(key=key, psum=acc[:, :dim], cnt=acc[:, dim]),
+        dropped,
+    )
 
 
 def centroids(m: VoxelHashMap):
