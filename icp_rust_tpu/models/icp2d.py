@@ -71,9 +71,15 @@ def _sort_enabled(src, dst, config: ICPConfig):
         return config.nn_sort
     if config.nn_sort != "auto":
         return None
-    # The pair-block batched kernel prunes at 128-point chunk
-    # granularity, so sorting pays for any db above a few chunks.
-    if config.nn_backend == "pairs" and src.ndim > 2:
+    # The pair-grid batched kernel prunes at 128-point chunk
+    # granularity, so sorting pays for any db above a few chunks
+    # ("auto" dispatches batched calls to it on TPU, see ops/nn.py).
+    if src.ndim > 2 and (
+        config.nn_backend == "pairs"
+        or (config.nn_backend == "auto"
+            and use_pallas_nn(src, dst, config.nn_backend,
+                              config.nn_method))
+    ):
         return "morton" if dst.shape[-2] >= 3 * 128 else None
     # Sorting only pays when the db spans enough tiles for the kernel's
     # bbox pruning to bite (nn_pallas skips pruning below 3 tiles).

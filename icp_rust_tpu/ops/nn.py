@@ -269,10 +269,15 @@ def nearest_neighbor_matched(
     db point), replacing the caller's post-hoc take_along_axis gather —
     TPU dynamic gathers at 28k rows cost as much as the pruned distance
     sweep itself.  Returns (NNResult, matched (..., Q, P))."""
-    if backend == "pairs" and query.ndim == 3:
-        # Pair-block batched kernel: one pallas_call for MANY small pairs
-        # (multi-pair ICP).  Exact, seeded-prune; see
-        # nn_pallas.nn_pallas_matched_pairs.
+    if query.ndim == 3 and (
+        backend == "pairs"
+        or (backend == "auto" and use_pallas_nn(query, db, backend, method))
+    ):
+        # Pair-grid batched kernel: one pallas_call for MANY small pairs
+        # (multi-pair ICP) — on "auto" this is the TPU default for a
+        # batched call (the vmapped single-cloud kernel's narrow windows
+        # waste scoped VMEM and its per-pair grid overhead dominates).
+        # Exact, seeded-prune; see nn_pallas.nn_pallas_matched_pairs.
         from icp_rust_tpu.ops import nn_pallas
 
         return nn_pallas.nn_pallas_matched_pairs(

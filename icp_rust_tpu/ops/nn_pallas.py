@@ -944,15 +944,20 @@ def _nn_seeded_2d(
 
 
 # --------------------------------------------------------------------------
-# Pair-block batched NN: many small pairs, ONE pallas_call (VERDICT r2 #2).
+# Pair-grid batched NN: many small pairs, ONE pallas_call (VERDICT r2 #2).
 #
 # The batched multi-pair driver (209 consecutive scan pairs at 768 points)
-# cannot use the single-cloud kernels efficiently: vmapping them turns the
-# pair axis into a leading grid dimension whose per-grid-step overhead
-# (~20-30 us) dwarfs each pair's tiny compute (docs/DESIGN.md round-2
-# anti-result).  Here the grid walks BLOCKS of ``pair_blk`` pairs and the
-# kernel loops over the block's pairs and query subtiles IN-KERNEL, so the
-# per-step overhead amortizes over pair_blk * n_q work.
+# cannot use the single-cloud kernels efficiently: their outputs/queries
+# are narrow (N, 1..3) windows, and blocking MANY pairs' rows into one
+# grid step pads the lane dimension 64-128x in scoped VMEM (a pair_blk=8
+# block measured 18.5 MB scoped — over the 16 MB budget).  Instead the
+# grid is (pair, query-subtile): every step's windows are one subtile's
+# (q_sub, D) queries, one pair's (F, M) db, and (q_sub, 1|P) outputs —
+# a few hundred KB scoped regardless of the batch size — and the
+# per-step overhead is the same ~0.1 us as the single-cloud kernels'
+# inner grid axis (the round-2 "vmapped kernel is 4-6x slower"
+# anti-result was about vmapping the whole zig-zag kernel with its
+# carries and SMEM tables, not about grid steps per se).
 #
 # Pruning is SEED-ONLY and exact: chunk c is skipped for a query subtile
 # iff the bbox-to-bbox lower bound exceeds the subtile's seeded upper
@@ -968,136 +973,132 @@ def _nn_seeded_2d(
 
 def _nn_pairs_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref,
                      dist_ref, idx_ref, *rest, d_dim: int, f_dim: int,
-                     n_q: int, m_db: int, pair_blk: int, q_sub: int):
-    """One grid step = ``pair_blk`` whole pairs.
+                     m_db: int, q_sub: int):
+    """One grid step = one query subtile of one pair.
 
-    q_ref:    (pair_blk * n_q, D)       queries, pair-major rows
-    db_ref:   (pair_blk * F, m_db)      coordinate-major db + payload rows
-    qbox_ref: (B * n_qt, 8)      SMEM per-query-subtile bounds (WHOLE)
-    bbox_ref: (B * n_chunks, 8)  SMEM per-db-chunk bounds (WHOLE)
-    qb_ref:   (B * n_qt, 1)      SMEM seeded prune bounds (WHOLE)
-    outputs:  (pair_blk * n_q, 1|f_dim)
+    q_ref:    (q_sub, D)    this subtile's queries
+    db_ref:   (F, m_db)     this pair's coordinate-major db + payload
+    qbox_ref: (r8, 8)       SMEM this pair's per-subtile bounds (row t)
+    bbox_ref: (rc8, 8)      SMEM this pair's per-chunk bounds (row c)
+    qb_ref:   (r8, 1)       SMEM this pair's seeded prune bounds
+    outputs:  (q_sub, 1|f_dim)
 
-    The SMEM tables are passed UNBLOCKED (Mosaic requires blocked sublane
-    dims to be multiples of 8, which pair_blk*n_qt generally is not) and
-    indexed with the grid id.
+    SMEM tables are blocked PER PAIR with rows padded to a multiple of 8
+    (Mosaic's blocked-sublane rule; padded rows are never read).
     """
     if f_dim:
         pay_ref, best_d, best_c, best_p = rest
     else:
         best_d, best_c = rest
-    blk = pl.program_id(0)
-    f_total = d_dim + f_dim
-    n_qt = n_q // q_sub
+    t = pl.program_id(1)
     n_chunks = m_db // 128
     eps = jnp.finfo(best_d.dtype).eps
     big = jnp.iinfo(jnp.int32).max
 
-    for p in range(pair_blk):
-        qbase = p * n_q
-        for qt in range(n_qt):
-            rowq = (blk * pair_blk + p) * n_qt + qt
-            bound = qb_ref[rowq, 0]
-            q = q_ref[qbase + qt * q_sub:qbase + (qt + 1) * q_sub, :]
-            best_d[:] = jnp.full_like(best_d, jnp.inf)
-            best_c[:] = jnp.zeros_like(best_c)
-            if f_dim:
-                best_p[:] = jnp.zeros_like(best_p)
-            for c in range(n_chunks):
-                rowc = (blk * pair_blk + p) * n_chunks + c
-                lb = jnp.asarray(0.0, best_d.dtype)
-                for k in range(d_dim):
-                    a = bbox_ref[rowc, k] - qbox_ref[rowq, 4 + k]
-                    b = qbox_ref[rowq, k] - bbox_ref[rowc, 4 + k]
-                    g = jnp.maximum(jnp.maximum(a, b), 0.0)
-                    lb = lb + g * g
-                # One-sided margin (same argument as _nn_pruned_kernel).
-                lb = lb * (1.0 - 16.0 * eps)
+    bound = qb_ref[t, 0]
+    q = q_ref[:]  # (q_sub, D)
+    best_d[:] = jnp.full_like(best_d, jnp.inf)
+    best_c[:] = jnp.zeros_like(best_c)
+    if f_dim:
+        best_p[:] = jnp.zeros_like(best_p)
+    for c in range(n_chunks):
+        lb = jnp.asarray(0.0, best_d.dtype)
+        for k in range(d_dim):
+            a = bbox_ref[c, k] - qbox_ref[t, 4 + k]
+            b = qbox_ref[t, k] - bbox_ref[c, 4 + k]
+            g = jnp.maximum(jnp.maximum(a, b), 0.0)
+            lb = lb + g * g
+        # One-sided margin (same argument as _nn_pruned_kernel).
+        lb = lb * (1.0 - 16.0 * eps)
 
-                @pl.when(lb <= bound)
-                def _work(c=c, p=p, q=q):
-                    sl = slice(c * 128, (c + 1) * 128)
-                    dist = jnp.zeros((q_sub, 128), dtype=best_d.dtype)
-                    for k in range(d_dim):
-                        diff = (q[:, k:k + 1]
-                                - db_ref[p * f_total + k:
-                                         p * f_total + k + 1, sl])
-                        dist = dist + diff * diff
-                    better = dist < best_d[:]  # strict: earlier chunk wins
-                    best_d[:] = jnp.where(better, dist, best_d[:])
-                    best_c[:] = jnp.where(better, c, best_c[:])
-                    if f_dim:
-                        for f in range(f_dim):
-                            fr = p * f_total + d_dim + f
-                            best_p[:, f * 128:(f + 1) * 128] = jnp.where(
-                                better, db_ref[fr:fr + 1, sl],
-                                best_p[:, f * 128:(f + 1) * 128],
-                            )
-
-            bd = best_d[:]  # (q_sub, 128)
-            mn = jnp.min(bd, axis=1, keepdims=True)
-            lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
-            gidx = best_c[:] * 128 + lane
-            cand = jnp.where(bd == mn, gidx, big)
-            winner = jnp.min(cand, axis=1, keepdims=True)
-            out_sl = slice(qbase + qt * q_sub, qbase + (qt + 1) * q_sub)
-            dist_ref[out_sl, :] = mn
-            idx_ref[out_sl, :] = winner
+        @pl.when(lb <= bound)
+        def _work(c=c):
+            sl = slice(c * 128, (c + 1) * 128)
+            dist = jnp.zeros((q_sub, 128), dtype=best_d.dtype)
+            for k in range(d_dim):
+                diff = q[:, k:k + 1] - db_ref[k:k + 1, sl]
+                dist = dist + diff * diff
+            better = dist < best_d[:]  # strict: earlier chunk wins
+            best_d[:] = jnp.where(better, dist, best_d[:])
+            best_c[:] = jnp.where(better, c, best_c[:])
             if f_dim:
-                one_hot = cand == winner
                 for f in range(f_dim):
-                    pf = best_p[:, f * 128:(f + 1) * 128]
-                    pay_ref[out_sl, f:f + 1] = jnp.sum(
-                        jnp.where(one_hot, pf, 0.0), axis=1, keepdims=True
+                    best_p[:, f * 128:(f + 1) * 128] = jnp.where(
+                        better, db_ref[d_dim + f:d_dim + f + 1, sl],
+                        best_p[:, f * 128:(f + 1) * 128],
                     )
+
+    bd = best_d[:]  # (q_sub, 128)
+    mn = jnp.min(bd, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+    gidx = best_c[:] * 128 + lane
+    cand = jnp.where(bd == mn, gidx, big)
+    winner = jnp.min(cand, axis=1, keepdims=True)
+    dist_ref[:] = mn
+    idx_ref[:] = winner
+    if f_dim:
+        one_hot = cand == winner
+        for f in range(f_dim):
+            pf = best_p[:, f * 128:(f + 1) * 128]
+            pay_ref[:, f:f + 1] = jnp.sum(
+                jnp.where(one_hot, pf, 0.0), axis=1, keepdims=True
+            )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d_dim", "q_sub", "pair_blk", "interpret"),
+    static_argnames=("d_dim", "q_sub", "interpret"),
 )
 def _nn_pairs_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
-                   pair_blk: int, interpret: bool):
+                   interpret: bool):
     """query: (B, Nq, D); dbf_cm: (B, F, M) sentinel-padded; q_bound:
-    (B, Nq) with -inf on padded rows/pairs.  B % pair_blk == 0,
-    Nq % q_sub == 0, M % 128 == 0."""
+    (B, Nq) with -inf on padded rows/pairs.  Nq % q_sub == 0,
+    M % 128 == 0."""
     b, n_q, _ = query.shape
     f_total, m_db = dbf_cm.shape[1], dbf_cm.shape[2]
     f_dim = f_total - d_dim
-    n_blk = b // pair_blk
     n_qt = n_q // q_sub
     n_chunks = m_db // 128
+    r8 = _round_up(n_qt, 8)
+    rc8 = _round_up(n_chunks, 8)
 
     qbox = jax.vmap(lambda qq: _query_boxes(qq, q_sub))(query)
     bbox = jax.vmap(lambda cm: _tile_boxes(cm[:d_dim], 128))(dbf_cm)
     qb_sub = jnp.max(q_bound.reshape(b, n_qt, q_sub), axis=-1)
 
     q2 = query.reshape(b * n_q, d_dim)
-    db2 = dbf_cm.reshape(b * f_total, m_db)
-    qbox2 = qbox.reshape(b * n_qt, 8)
-    bbox2 = bbox.reshape(b * n_chunks, 8)
-    qb2 = qb_sub.reshape(b * n_qt, 1)
+    # Pad each pair's coordinate/payload rows to 8 (VMEM blocked-sublane
+    # rule); the kernel only reads rows < f_total.
+    f8 = _round_up(f_total, 8)
+    db2 = jnp.pad(dbf_cm, ((0, 0), (0, f8 - f_total), (0, 0))).reshape(
+        b * f8, m_db)
+    qbox2 = jnp.pad(qbox, ((0, 0), (0, r8 - n_qt), (0, 0))).reshape(
+        b * r8, 8)
+    bbox2 = jnp.pad(bbox, ((0, 0), (0, rc8 - n_chunks), (0, 0))).reshape(
+        b * rc8, 8)
+    qb2 = jnp.pad(qb_sub, ((0, 0), (0, r8 - n_qt)))[..., None].reshape(
+        b * r8, 1)
 
     kernel = functools.partial(
-        _nn_pairs_kernel, d_dim=d_dim, f_dim=f_dim, n_q=n_q, m_db=m_db,
-        pair_blk=pair_blk, q_sub=q_sub,
+        _nn_pairs_kernel, d_dim=d_dim, f_dim=f_dim, m_db=m_db,
+        q_sub=q_sub,
     )
     in_specs = [
-        pl.BlockSpec((pair_blk * n_q, d_dim), lambda i: (i, 0),
+        pl.BlockSpec((q_sub, d_dim), lambda p, t: (p * n_qt + t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((pair_blk * f_total, m_db), lambda i: (i, 0),
+        pl.BlockSpec((f8, m_db), lambda p, t: (p, 0),
                      memory_space=pltpu.VMEM),
-        # Whole-array SMEM (blocked sublane dims would need to be
-        # 8-multiples, which pair_blk*n_qt generally is not); the kernel
-        # offsets rows by program_id.
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((r8, 8), lambda p, t: (p, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((rc8, 8), lambda p, t: (p, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((r8, 1), lambda p, t: (p, 0),
+                     memory_space=pltpu.SMEM),
     ]
     out_specs = [
-        pl.BlockSpec((pair_blk * n_q, 1), lambda i: (i, 0),
+        pl.BlockSpec((q_sub, 1), lambda p, t: (p * n_qt + t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((pair_blk * n_q, 1), lambda i: (i, 0),
+        pl.BlockSpec((q_sub, 1), lambda p, t: (p * n_qt + t, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -1110,7 +1111,7 @@ def _nn_pairs_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
     ]
     if f_dim:
         out_specs.append(
-            pl.BlockSpec((pair_blk * n_q, f_dim), lambda i: (i, 0),
+            pl.BlockSpec((q_sub, f_dim), lambda p, t: (p * n_qt + t, 0),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
@@ -1120,7 +1121,7 @@ def _nn_pairs_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_blk,),
+        grid=(b, n_qt),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1148,14 +1149,17 @@ def nn_pallas_matched_pairs(
     """Batched many-pair exact 1-NN with matched payload: (B, Nq, D)
     queries vs (B, M, D) dbs in ONE pallas_call (see module section
     comment).  Returns (NNResult (B, Nq), matched (B, Nq, P)); same
-    contract (incl. tie-breaks) as per-pair nn_pallas_matched."""
+    contract (incl. tie-breaks) as per-pair nn_pallas_matched.
+    ``pair_blk`` is retained for API compatibility and unused: the
+    round-3 kernel grids (pair, subtile) directly."""
+    del pair_blk
     b, n_q, d_dim = query.shape
     m = db.shape[1]
     if payload is None:
         payload = db
     f_dim = payload.shape[-1]
 
-    b_pad = _round_up(b, pair_blk)
+    b_pad = b
     q_pad = _round_up(n_q, q_sub)
     m_pad = _round_up(m, 128)
 
@@ -1180,7 +1184,7 @@ def nn_pallas_matched_pairs(
                  constant_values=-jnp.inf)
 
     dist, idx, pay = _nn_pairs_impl(
-        query_p, dbf_cm, qb, d_dim, q_sub, pair_blk, interpret
+        query_p, dbf_cm, qb, d_dim, q_sub, interpret
     )
     dist = _trim_sentinel(dist[:b, :n_q])
     res = NNResult(index=idx[:b, :n_q], dist_sq=dist)
