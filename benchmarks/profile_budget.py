@@ -135,24 +135,6 @@ def main():
     t_inner = diff("estimate_transform whole-loop [pallas]",
                    inner, 2, 10, sxy, matched_xy, sm_s)
 
-    # How many IRLS iterations does a converged-ish call run?  Use the
-    # xla path's iteration count via a probe config.
-    # (cheap estimate: run the pallas kernel's iteration counter)
-    from icp_rust_tpu.ops import align2d_pallas
-    out_it = []
-    for frame_i in range(1, 4):
-        d_i = jnp.asarray(pts[frame_i], jnp.float32)
-        m_i = jnp.asarray(mask[frame_i])
-        d_s, dm_i, _ = _spatial_sort(d_i, m_i)
-        r2, mxy2 = nearest_neighbor_matched(
-            src_s, d_s, dm_i, payload=d_s[..., :2], backend="pallas",
-            tile=cfg.nn_dst_tile, q_tile=cfg.nn_query_tile)
-        # run the raw kernel to read its iteration counter
-        rot, t = align2d_pallas.estimate_transform_pallas(
-            sxy, mxy2, sm_s, cfg.huber_k, cfg.det_rel_eps,
-            cfg.inner_delta_sq_tol, cfg.inner_max_iter, cfg.point_scale)
-        out_it.append("n/a")
-
     # ---- A: glue = one outer iteration minus NN minus inner
     def outer_once(k):
         def run(s, d, s_m, d_m, pay):
