@@ -16,9 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from icp_rust_tpu.config import ICPConfig
-from icp_rust_tpu.geometry.transform3d import RigidTransform3
-from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
-from icp_rust_tpu.ops.normals import estimate_normals_voxel
+from icp_rust_tpu.models.odometry import run_odometry_p2l_fused
 from icp_rust_tpu.utils import io as scan_io
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "12"))
@@ -40,30 +38,15 @@ def main():
                     det_rel_eps=1e-9)
     pts_d = jax.block_until_ready(jnp.asarray(pts, cfg.compute_dtype))
     msk_d = jax.block_until_ready(jnp.asarray(mask))
-    src, src_m = pts_d[0], msk_d[0]
-
-    @jax.jit
-    def frame_step(dst, dst_m, t):
-        # voxel-PCA normals (VGICP-style): one segment-sum pass instead
-        # of the O(N^2) kNN, and measurably more accurate on planar data
-        normals, n_valid = estimate_normals_voxel(dst, dst_m, 0.3)
-        dst_m2 = dst_m & n_valid
-        return icp_point_to_plane(
-            src, dst, src_m, dst_m2, t, cfg, dst_normals=normals,
-        ), n_valid
-
-    def run_all():
-        t = RigidTransform3.identity(dtype=cfg.compute_dtype)
-        out = []
-        for i in range(1, N_FRAMES):
-            t, _ = frame_step(pts_d[i], msk_d[i], t)
-            out.append(t.inverse().t)
-        return np.asarray(jnp.stack(out))
-
-    path = run_all()  # compile+warm
-    t0 = time.perf_counter()
-    path = run_all()
-    dt = time.perf_counter() - t0
+    # Whole-sequence fused runner: ONE device dispatch for the full
+    # trajectory (per-frame dispatch loops pay ~11 tunnel round trips,
+    # which dominated AND jittered the old single-run numbers by +-20%).
+    _, path = run_odometry_p2l_fused(pts_d, msk_d, cfg)  # compile+warm
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, path = run_odometry_p2l_fused(pts_d, msk_d, cfg)
+        dt = min(dt, time.perf_counter() - t0)
     fps = (N_FRAMES - 1) / dt
 
     c, s = np.cos(traj[0, 2]), np.sin(traj[0, 2])

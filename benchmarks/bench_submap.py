@@ -41,9 +41,12 @@ def main():
     kw = dict(voxel_size=0.05, capacity=1 << 16)
     _ = run_submap_odometry(pts_d[:3], msk_d[:3], cfg, **kw)  # compile
     _ = run_submap_odometry(pts_d, msk_d, cfg, **kw)
-    t0 = time.perf_counter()
-    _, path = run_submap_odometry(pts_d, msk_d, cfg, **kw)
-    dt = time.perf_counter() - t0
+    # Best-of-3 (tunnel jitter).
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, path = run_submap_odometry(pts_d, msk_d, cfg, **kw)
+        dt = min(dt, time.perf_counter() - t0)
     fps = (N_FRAMES - 1) / dt
 
     # Submap transforms map scan -> map frame; ground truth sensor

@@ -228,3 +228,31 @@ def test_whole_loop_p2l_kernel_matches_xla_loop():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref.t),
                                atol=1e-6)
+
+
+def test_p2l_fused_runner_matches_dispatch_loop():
+    """run_odometry_p2l_fused (one lax.scan program) must reproduce the
+    per-frame dispatch loop's trajectory (same per-frame computation,
+    only the dispatch structure differs)."""
+    from icp_rust_tpu.models.odometry import (
+        run_odometry_p2l,
+        run_odometry_p2l_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    base = _box_cloud(120, seed=3)
+    frames = []
+    for i in range(4):
+        th = 0.02 * i
+        c, s = np.cos(th), np.sin(th)
+        r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        t = np.array([0.03 * i, -0.02 * i, 0.0])
+        frames.append((base @ r.T + t + rng.normal(0, 0.002, base.shape)))
+    pts = np.stack(frames).astype(np.float64)
+    msk = np.ones(pts.shape[:2], bool)
+
+    _, path_loop = run_odometry_p2l(pts, msk, CFG, normals_voxel_size=0.5)
+    _, path_fused = run_odometry_p2l_fused(
+        pts, msk, CFG, normals_voxel_size=0.5
+    )
+    np.testing.assert_allclose(path_fused, path_loop, atol=1e-9)
