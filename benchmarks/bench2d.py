@@ -51,9 +51,12 @@ def main():
     msk_d = jax.block_until_ready(jnp.asarray(mask))
 
     _ = run_odometry_fused(pts_d, msk_d, cfg)  # compile
-    t0 = time.perf_counter()
-    _, path = run_odometry_fused(pts_d, msk_d, cfg)
-    dt = time.perf_counter() - t0
+    # Best-of-3 (tunnel jitter).
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, path = run_odometry_fused(pts_d, msk_d, cfg)
+        dt = min(dt, time.perf_counter() - t0)
     fps = (len(frames) - 1) / dt
 
     ref = oracle_path(frames)
