@@ -973,15 +973,23 @@ def _nn_seeded_2d(
 
 def _nn_pairs_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref,
                      dist_ref, idx_ref, *rest, d_dim: int, f_dim: int,
-                     m_db: int, q_sub: int):
+                     m_db: int, q_sub: int, q_grp: int):
     """One grid step = one query subtile of one pair.
 
     q_ref:    (q_sub, D)    this subtile's queries
     db_ref:   (F, m_db)     this pair's coordinate-major db + payload
-    qbox_ref: (r8, 8)       SMEM this pair's per-subtile bounds (row t)
+    qbox_ref: (r8, 8)       SMEM this pair's per-GROUP bounds (row
+                            t*G + g, G = q_sub // q_grp groups/subtile)
     bbox_ref: (rc8, 8)      SMEM this pair's per-chunk bounds (row c)
-    qb_ref:   (r8, 1)       SMEM this pair's seeded prune bounds
+    qb_ref:   (r8, 1)       SMEM this pair's seeded prune bounds (per
+                            group)
     outputs:  (q_sub, 1|f_dim)
+
+    The prune test runs per (row group, chunk): a group's box spans
+    1/G of the subtile's arc and its seeded bound maxes over q_grp
+    rows only, so one far correspondence taxes its own group, not the
+    whole subtile (the kernel is compute-bound, not step-bound — see
+    benchmarks/profile_nn_pairs.py).
 
     SMEM tables are blocked PER PAIR with rows padded to a multiple of 8
     (Mosaic's blocked-sublane rule; padded rows are never read).
@@ -992,41 +1000,46 @@ def _nn_pairs_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref,
         best_d, best_c = rest
     t = pl.program_id(1)
     n_chunks = m_db // 128
+    n_grp = q_sub // q_grp
     eps = jnp.finfo(best_d.dtype).eps
     big = jnp.iinfo(jnp.int32).max
 
-    bound = qb_ref[t, 0]
     q = q_ref[:]  # (q_sub, D)
     best_d[:] = jnp.full_like(best_d, jnp.inf)
     best_c[:] = jnp.zeros_like(best_c)
     if f_dim:
         best_p[:] = jnp.zeros_like(best_p)
-    for c in range(n_chunks):
-        lb = jnp.asarray(0.0, best_d.dtype)
-        for k in range(d_dim):
-            a = bbox_ref[c, k] - qbox_ref[t, 4 + k]
-            b = qbox_ref[t, k] - bbox_ref[c, 4 + k]
-            g = jnp.maximum(jnp.maximum(a, b), 0.0)
-            lb = lb + g * g
-        # One-sided margin (same argument as _nn_pruned_kernel).
-        lb = lb * (1.0 - 16.0 * eps)
-
-        @pl.when(lb <= bound)
-        def _work(c=c):
-            sl = slice(c * 128, (c + 1) * 128)
-            dist = jnp.zeros((q_sub, 128), dtype=best_d.dtype)
+    for g in range(n_grp):
+        row = t * n_grp + g
+        bound = qb_ref[row, 0]
+        gsl = slice(g * q_grp, (g + 1) * q_grp)
+        for c in range(n_chunks):
+            lb = jnp.asarray(0.0, best_d.dtype)
             for k in range(d_dim):
-                diff = q[:, k:k + 1] - db_ref[k:k + 1, sl]
-                dist = dist + diff * diff
-            better = dist < best_d[:]  # strict: earlier chunk wins
-            best_d[:] = jnp.where(better, dist, best_d[:])
-            best_c[:] = jnp.where(better, c, best_c[:])
-            if f_dim:
-                for f in range(f_dim):
-                    best_p[:, f * 128:(f + 1) * 128] = jnp.where(
-                        better, db_ref[d_dim + f:d_dim + f + 1, sl],
-                        best_p[:, f * 128:(f + 1) * 128],
-                    )
+                a = bbox_ref[c, k] - qbox_ref[row, 4 + k]
+                b = qbox_ref[row, k] - bbox_ref[c, 4 + k]
+                gap = jnp.maximum(jnp.maximum(a, b), 0.0)
+                lb = lb + gap * gap
+            # One-sided margin (same argument as _nn_pruned_kernel).
+            lb = lb * (1.0 - 16.0 * eps)
+
+            @pl.when(lb <= bound)
+            def _work(c=c, g=g, gsl=gsl):
+                sl = slice(c * 128, (c + 1) * 128)
+                dist = jnp.zeros((q_grp, 128), dtype=best_d.dtype)
+                for k in range(d_dim):
+                    diff = q[gsl, k:k + 1] - db_ref[k:k + 1, sl]
+                    dist = dist + diff * diff
+                better = dist < best_d[gsl]  # strict: earlier chunk wins
+                best_d[gsl] = jnp.where(better, dist, best_d[gsl])
+                best_c[gsl] = jnp.where(better, c, best_c[gsl])
+                if f_dim:
+                    for f in range(f_dim):
+                        fsl = slice(f * 128, (f + 1) * 128)
+                        best_p[gsl, fsl] = jnp.where(
+                            better, db_ref[d_dim + f:d_dim + f + 1, sl],
+                            best_p[gsl, fsl],
+                        )
 
     bd = best_d[:]  # (q_sub, 128)
     mn = jnp.min(bd, axis=1, keepdims=True)
@@ -1047,24 +1060,25 @@ def _nn_pairs_kernel(q_ref, db_ref, qbox_ref, bbox_ref, qb_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d_dim", "q_sub", "interpret"),
+    static_argnames=("d_dim", "q_sub", "q_grp", "interpret"),
 )
 def _nn_pairs_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
-                   interpret: bool):
+                   q_grp: int, interpret: bool):
     """query: (B, Nq, D); dbf_cm: (B, F, M) sentinel-padded; q_bound:
     (B, Nq) with -inf on padded rows/pairs.  Nq % q_sub == 0,
-    M % 128 == 0."""
+    q_sub % q_grp == 0, M % 128 == 0."""
     b, n_q, _ = query.shape
     f_total, m_db = dbf_cm.shape[1], dbf_cm.shape[2]
     f_dim = f_total - d_dim
     n_qt = n_q // q_sub
+    n_grp = n_q // q_grp  # prune-granularity rows (bounds per group)
     n_chunks = m_db // 128
-    r8 = _round_up(n_qt, 8)
+    r8 = _round_up(n_grp, 8)
     rc8 = _round_up(n_chunks, 8)
 
-    qbox = jax.vmap(lambda qq: _query_boxes(qq, q_sub))(query)
+    qbox = jax.vmap(lambda qq: _query_boxes(qq, q_grp))(query)
     bbox = jax.vmap(lambda cm: _tile_boxes(cm[:d_dim], 128))(dbf_cm)
-    qb_sub = jnp.max(q_bound.reshape(b, n_qt, q_sub), axis=-1)
+    qb_sub = jnp.max(q_bound.reshape(b, n_grp, q_grp), axis=-1)
 
     q2 = query.reshape(b * n_q, d_dim)
     # Pad each pair's coordinate/payload rows to 8 (VMEM blocked-sublane
@@ -1072,16 +1086,16 @@ def _nn_pairs_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
     f8 = _round_up(f_total, 8)
     db2 = jnp.pad(dbf_cm, ((0, 0), (0, f8 - f_total), (0, 0))).reshape(
         b * f8, m_db)
-    qbox2 = jnp.pad(qbox, ((0, 0), (0, r8 - n_qt), (0, 0))).reshape(
+    qbox2 = jnp.pad(qbox, ((0, 0), (0, r8 - n_grp), (0, 0))).reshape(
         b * r8, 8)
     bbox2 = jnp.pad(bbox, ((0, 0), (0, rc8 - n_chunks), (0, 0))).reshape(
         b * rc8, 8)
-    qb2 = jnp.pad(qb_sub, ((0, 0), (0, r8 - n_qt)))[..., None].reshape(
+    qb2 = jnp.pad(qb_sub, ((0, 0), (0, r8 - n_grp)))[..., None].reshape(
         b * r8, 1)
 
     kernel = functools.partial(
         _nn_pairs_kernel, d_dim=d_dim, f_dim=f_dim, m_db=m_db,
-        q_sub=q_sub,
+        q_sub=q_sub, q_grp=q_grp,
     )
     in_specs = [
         pl.BlockSpec((q_sub, d_dim), lambda p, t: (p * n_qt + t, 0),
@@ -1144,6 +1158,7 @@ def nn_pallas_matched_pairs(
     q_bound: Array | None = None,
     pair_blk: int = 8,
     q_sub: int = 256,
+    q_grp: int | None = None,
     interpret: bool = False,
 ):
     """Batched many-pair exact 1-NN with matched payload: (B, Nq, D)
@@ -1153,6 +1168,10 @@ def nn_pallas_matched_pairs(
     ``pair_blk`` is retained for API compatibility and unused: the
     round-3 kernel grids (pair, subtile) directly."""
     del pair_blk
+    if q_grp is None:
+        q_grp = q_sub  # finer groups measured SLOWER (anti-result:
+        # 24 pl.when regions/step cost more than the pruned compute;
+        # benchmarks/profile_nn_pairs.py round 3)
     b, n_q, d_dim = query.shape
     m = db.shape[1]
     if payload is None:
@@ -1184,7 +1203,7 @@ def nn_pallas_matched_pairs(
                  constant_values=-jnp.inf)
 
     dist, idx, pay = _nn_pairs_impl(
-        query_p, dbf_cm, qb, d_dim, q_sub, interpret
+        query_p, dbf_cm, qb, d_dim, q_sub, q_grp, interpret
     )
     dist = _trim_sentinel(dist[:b, :n_q])
     res = NNResult(index=idx[:b, :n_q], dist_sq=dist)
