@@ -248,7 +248,7 @@ def _median_radixd_rows(x, mask, n):
                 jnp.where(live, pval_new, pval))
 
     z = jnp.zeros_like(shift0)
-        shift, r, cnt, pmask, pval = jax.lax.while_loop(
+    shift, r, cnt, pmask, pval = jax.lax.while_loop(
         cond, body, (shift0, r0, cnt0, z, z))
     cand = cls & ((keys & pmask) == pval)
 
@@ -268,12 +268,57 @@ def _median_radixd_rows(x, mask, n):
     return jnp.where(n > 0, med, 0.0)
 
 
+def _median_radix2p_rows(x, mask, n):
+    """Static 16-pass 2-bit radix with PACKED counts: c0 and c1 ride one
+    f32 sum as c0*4096 + c1 (both < 2^10 at N <= 4095, and every partial
+    sum stays integer-exact under the 24-bit mantissa), c2 keeps its own
+    sum — 2 lane reductions per pass instead of 3."""
+    keys = _order_keys_u32(x)
+    h = n // 2
+    cand = mask
+    r = h
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    pk = jnp.float32(4096.0)
+    for p in range(16):
+        shift = 30 - 2 * p
+        digit = (keys >> shift) & 0x3
+        v01 = jnp.where(cand & (digit == 0), pk, zero) + jnp.where(
+            cand & (digit == 1), one, zero)
+        s01 = jnp.sum(v01, axis=1, keepdims=True).astype(jnp.int32)
+        c0 = s01 >> 12
+        c1 = s01 & 0xFFF
+        c2 = jnp.sum(jnp.where(cand & (digit == 2), one, zero), axis=1,
+                     keepdims=True).astype(jnp.int32)
+        cum1 = c0 + c1
+        cum2 = cum1 + c2
+        sel = jnp.where(
+            r < c0, 0, jnp.where(r < cum1, 1, jnp.where(r < cum2, 2, 3))
+        ).astype(jnp.uint32)
+        r = r - jnp.where(
+            sel == 0, 0, jnp.where(sel == 1, c0,
+                                   jnp.where(sel == 2, cum1, cum2))
+        )
+        cand = cand & (digit == sel)
+    inf = jnp.float32(jnp.inf)
+    v_hi = jnp.min(jnp.where(cand, x, inf), axis=1, keepdims=True)
+    less = mask & (x < v_hi)
+    cnt_less = jnp.sum(jnp.where(less, one, zero), axis=1,
+                       keepdims=True).astype(jnp.int32)
+    vmax_less = jnp.max(jnp.where(less, x, -inf), axis=1, keepdims=True)
+    v_lo = jnp.where(cnt_less == h, vmax_less, v_hi)
+    odd = (n % 2) == 1
+    med = jnp.where(odd, v_hi, 0.5 * (v_lo + v_hi))
+    return jnp.where(n > 0, med, 0.0)
+
+
 VARIANTS = {
     "radix2": _median_radix2_rows,
     "radix1": _median_radix1_rows,
     "bisect": _median_bisect_rows,
     "radix2w": _median_radix2w_rows,
     "radixd": _median_radixd_rows,
+    "radix2p": _median_radix2p_rows,
 }
 
 
@@ -352,11 +397,11 @@ def main():
 
     print(f"platform={jax.devices()[0].platform} B={B} N={N}")
     for name, fn in VARIANTS.items():
-        t1 = measure(jax.jit(make_kernel(fn, 32)), xj, mj)
-        t2 = measure(jax.jit(make_kernel(fn, 512)), xj, mj)
-        per = (t2 - t1) / 480
+        t1 = measure(jax.jit(make_kernel(fn, 64)), xj, mj)
+        t2 = measure(jax.jit(make_kernel(fn, 4096)), xj, mj)
+        per = (t2 - t1) / 4032
         print(f"{name:10s} {per*1e6:9.2f} us/median-call "
-              f"(t32={t1*1e3:.2f} t512={t2*1e3:.2f})")
+              f"(t64={t1*1e3:.2f} t4096={t2*1e3:.2f})")
 
 
 if __name__ == "__main__":

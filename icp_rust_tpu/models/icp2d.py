@@ -38,6 +38,7 @@ from icp_rust_tpu.ops.nn import (
     nearest_neighbor,
     nearest_neighbor_matched,
     spatial_order,
+    use_pairs_nn,
     use_pallas_nn,
 )
 
@@ -73,13 +74,9 @@ def _sort_enabled(src, dst, config: ICPConfig):
         return None
     # The pair-grid batched kernel prunes at 128-point chunk
     # granularity, so sorting pays for any db above a few chunks
-    # ("auto" dispatches batched calls to it on TPU, see ops/nn.py).
-    if src.ndim > 2 and (
-        config.nn_backend == "pairs"
-        or (config.nn_backend == "auto"
-            and use_pallas_nn(src, dst, config.nn_backend,
-                              config.nn_method))
-    ):
+    # ("auto" dispatches batched small-db calls to it on TPU — the
+    # same use_pairs_nn gate as ops/nn.nearest_neighbor_matched).
+    if use_pairs_nn(src, dst, config.nn_backend, config.nn_method):
         return "morton" if dst.shape[-2] >= 3 * 128 else None
     # Sorting only pays when the db spans enough tiles for the kernel's
     # bbox pruning to bite (nn_pallas skips pruning below 3 tiles).

@@ -352,6 +352,118 @@ def _median_radix2_rows(x, mask, n):
     return jnp.where(n > 0, med, 0.0)
 
 
+def _median_radixd_rows(x, mask, n):
+    """Exact masked median PER ROW — dynamic-exit sign-split radix select.
+
+    Bit-identical outputs to _median_radix2_rows (both return exact
+    order statistics with the reference even/odd semantics); ~25% fewer
+    cycles on IRLS-shaped rows (device: 4.9 vs 6.4 us/call at (128, 768),
+    benchmarks/profile_median.py).  Three tricks vs the static 16-pass
+    radix:
+
+    - Sign split: the h-th smallest SIGNED value lives in one sign class
+      (negatives hold ranks 0..n_neg-1 in DESCENDING |x|), and nonneg
+      f32 bit patterns are order-isomorphic int32 keys — all digit math
+      runs on |x| bits in plain int32 (Mosaic has no unsigned reduce).
+    - Common-prefix skip: the first 2-bit digit examined starts at the
+      highest differing bit of [kmin, kmax] over the class — clustered
+      residual keys share exponent bits, skipping ~2-6 leading passes.
+    - Rank pinning: a lax.while_loop exits a row once its rank hits an
+      endpoint of the candidate set (r == 0 -> min over candidates,
+      r == cnt-1 -> max); candidates shrink ~4x per pass, so typical
+      depth is ~5-7 passes, not 16.  The candidate mask is recomputed
+      from the selected key prefix each trip (Mosaic cannot carry
+      (B, N) i1 vectors through scf.while).
+    """
+    neg = mask & (x < 0)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    n_neg = jnp.sum(jnp.where(neg, one, zero), axis=1,
+                    keepdims=True).astype(jnp.int32)
+    h = n // 2
+    take_neg = h < n_neg
+    pos = mask & ~neg
+    # boolean select via algebra (Mosaic rejects i1-payload selects)
+    cls = (take_neg & neg) | (~take_neg & pos)
+    r0 = jnp.where(take_neg, n_neg - 1 - h, h - n_neg)
+    cnt0 = jnp.where(take_neg, n_neg, n - n_neg)
+
+    a = jnp.abs(x)
+    keys = jax.lax.bitcast_convert_type(a, jnp.int32)  # sign bit 0
+
+    # common-prefix skip: first differing bit of [kmin, kmax]
+    imax = jnp.int32(2147483647)
+    kmin = jnp.min(jnp.where(cls, keys, imax), axis=1, keepdims=True)
+    kmax = jnp.max(jnp.where(cls, keys, 0), axis=1, keepdims=True)
+    diff_bits = kmin ^ kmax
+    # floor(log2(u)) via the f32 exponent; convert rounding can only
+    # OVERestimate (starts one digit earlier — conservative)
+    lg = jax.lax.bitcast_convert_type(
+        (diff_bits | 1).astype(jnp.float32), jnp.int32) >> 23
+    b_hi = lg - 127
+    shift0 = (b_hi >> 1) << 1  # 2-bit align
+
+    def cond(c):
+        shift, r, cnt, pmask, pval = c
+        live = (shift >= 0) & (r > 0) & (r < cnt - 1)
+        return jnp.any(live)
+
+    def body(c):
+        shift, r, cnt, pmask, pval = c
+        live = (shift >= 0) & (r > 0) & (r < cnt - 1)
+        sh = jnp.maximum(shift, 0)
+        cand = cls & ((keys & pmask) == pval)
+        digit = (keys >> sh) & 0x3
+        c0 = jnp.sum(jnp.where(cand & (digit == 0), one, zero), axis=1,
+                     keepdims=True).astype(jnp.int32)
+        c1 = jnp.sum(jnp.where(cand & (digit == 1), one, zero), axis=1,
+                     keepdims=True).astype(jnp.int32)
+        c2 = jnp.sum(jnp.where(cand & (digit == 2), one, zero), axis=1,
+                     keepdims=True).astype(jnp.int32)
+        cum1 = c0 + c1
+        cum2 = cum1 + c2
+        sel = jnp.where(
+            r < c0, 0, jnp.where(r < cum1, 1, jnp.where(r < cum2, 2, 3)))
+        r_new = r - jnp.where(
+            sel == 0, 0, jnp.where(sel == 1, c0,
+                                   jnp.where(sel == 2, cum1, cum2)))
+        cnt_new = jnp.where(
+            sel == 0, c0, jnp.where(sel == 1, c1,
+                                    jnp.where(sel == 2, c2, cnt - cum2)))
+        pmask_new = pmask | (3 << sh)
+        pval_new = pval | (sel << sh)
+        shift_new = shift - 2
+        return (jnp.where(live, shift_new, shift),
+                jnp.where(live, r_new, r),
+                jnp.where(live, cnt_new, cnt),
+                jnp.where(live, pmask_new, pmask),
+                jnp.where(live, pval_new, pval))
+
+    z = jnp.zeros_like(shift0)
+    shift, r, cnt, pmask, pval = jax.lax.while_loop(
+        cond, body, (shift0, r0, cnt0, z, z))
+    cand = cls & ((keys & pmask) == pval)
+
+    inf = jnp.float32(jnp.inf)
+    a_min = jnp.min(jnp.where(cand, a, inf), axis=1, keepdims=True)
+    a_max = jnp.max(jnp.where(cand, a, -inf), axis=1, keepdims=True)
+    # r <= 0: rank pinned to the candidates' min |x|; r == cnt-1 (or the
+    # prefix exhausted: all candidate keys equal): the max.  In the
+    # negative class |x| order REVERSES the value order, so min/max swap
+    # under the sign restore below.
+    a_v = jnp.where(r <= 0, a_min, a_max)
+    v_hi = jnp.where(take_neg, -a_v, a_v)
+
+    less = mask & (x < v_hi)
+    cnt_less = jnp.sum(jnp.where(less, one, zero), axis=1,
+                       keepdims=True).astype(jnp.int32)
+    vmax_less = jnp.max(jnp.where(less, x, -inf), axis=1, keepdims=True)
+    v_lo = jnp.where(cnt_less == h, vmax_less, v_hi)
+    odd = (n % 2) == 1
+    med = jnp.where(odd, v_hi, 0.5 * (v_lo + v_hi))
+    return jnp.where(n > 0, med, 0.0)
+
+
 def _gn_batched_kernel(params_ref, sx_ref, sy_ref, dx_ref, dy_ref, m_ref,
                        out_ref, *, huber_k: float):
     """params_ref: (B, 8) [r00 r01 r10 r11 tx ty 0 0]; point arrays (B, N);
@@ -704,6 +816,11 @@ def _inner_loop_batched_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref,
         ry = r10 * sx + r11 * sy + ty - dy
         mask2 = jnp.concatenate([mask, mask], axis=0)
         n2 = jnp.concatenate([n, n], axis=0)
+        # NOTE anti-result (round 3): _median_radixd_rows (dynamic-exit
+        # select, 4.9 vs 6.4 us/call isolated) made THIS loop 25% slower
+        # (2.87 -> 3.59 ms/outer chain-differenced) — a dynamic while
+        # nested inside the IRLS while defeats Mosaic's pipelining of
+        # the surrounding vector ops.  Keep the medians static here.
         med = _median_radix2_rows(
             jnp.concatenate([rx, ry], axis=0), mask2, n2)
         med_x, med_y = med[:blk], med[blk:]

@@ -205,8 +205,9 @@ def spatial_order(points: Array, mask: Array | None = None,
 
 def use_pallas_nn(query: Array, db: Array, backend: str = "auto",
                   method: str = "direct") -> bool:
-    """Trace-time resolution of the NN backend dispatch (shared by
-    nearest_neighbor{,_matched} and the drivers' pre-sort decision)."""
+    """Trace-time resolution of the single-cloud NN backend dispatch
+    (batched small-db MATCHED calls dispatch to the pair-grid kernel
+    via use_pairs_nn before this gate is consulted)."""
     if backend == "pallas":
         return True
     if backend != "auto" or method != "direct":
@@ -221,6 +222,31 @@ def use_pallas_nn(query: Array, db: Array, backend: str = "auto",
         from icp_rust_tpu.ops import nn_pallas
 
         return nn_pallas.available() and not batched_small
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def use_pairs_nn(query: Array, db: Array, backend: str = "auto",
+                 method: str = "direct") -> bool:
+    """Trace-time dispatch for the pair-grid batched kernel
+    (nn_pallas_matched_pairs): explicit "pairs", or "auto" on TPU for a
+    batched direct call (shared by nearest_neighbor_matched and the
+    drivers' pre-sort decision so the two always agree)."""
+    if query.ndim != 3:
+        return False
+    if backend == "pairs":
+        return True
+    if backend != "auto" or method != "direct":
+        return False
+    # "auto" takes it only in the measured many-small-pairs regime; a
+    # batched call with big dbs keeps the vmapped single-cloud kernel
+    # (whole-db-per-pair VMEM residency is unproven past this size).
+    if db.shape[-2] > 4096:
+        return False
+    try:
+        from icp_rust_tpu.ops import nn_pallas
+
+        return nn_pallas.available()
     except ImportError:  # pragma: no cover
         return False
 
@@ -269,15 +295,15 @@ def nearest_neighbor_matched(
     db point), replacing the caller's post-hoc take_along_axis gather —
     TPU dynamic gathers at 28k rows cost as much as the pruned distance
     sweep itself.  Returns (NNResult, matched (..., Q, P))."""
-    if query.ndim == 3 and (
-        backend == "pairs"
-        or (backend == "auto" and use_pallas_nn(query, db, backend, method))
-    ):
+    if query.ndim == 3 and use_pairs_nn(query, db, backend, method):
         # Pair-grid batched kernel: one pallas_call for MANY small pairs
         # (multi-pair ICP) — on "auto" this is the TPU default for a
-        # batched call (the vmapped single-cloud kernel's narrow windows
-        # waste scoped VMEM and its per-pair grid overhead dominates).
-        # Exact, seeded-prune; see nn_pallas.nn_pallas_matched_pairs.
+        # batched SEEDED call: the survivor-list warm path beats the
+        # fused XLA sweep (1.34 vs 1.95 ms/outer at 209x768), which
+        # cannot use q_bound at all.  Exact, seeded-prune; see
+        # nn_pallas.nn_pallas_matched_pairs.  (The vmapped single-cloud
+        # kernel stays out: narrow windows waste scoped VMEM and its
+        # per-pair grid overhead dominates.)
         from icp_rust_tpu.ops import nn_pallas
 
         return nn_pallas.nn_pallas_matched_pairs(

@@ -1150,6 +1150,226 @@ def _nn_pairs_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
     return dist.reshape(b, n_q), idx.reshape(b, n_q), None
 
 
+# --------------------------------------------------------------------------
+# Survivor-list pairs kernel: the WARM-iteration variant of the pair grid.
+#
+# Same idea as _nn_list_kernel scaled down to many small dbs: the XLA
+# pre-pass evaluates the bbox prune test for every (pair, subtile, chunk)
+# at once and compacts each row's surviving chunk ids; the kernel walks
+# exactly those chunks with one aligned dynamic (8, 128) vreg load per
+# chunk from a per-pair chunk-sublane db.  Small dbs make this strictly
+# simpler than the single-cloud list kernel: the list capacity is
+# n_chunks itself (a 768-pt db is 6 chunks), so no row can ever overflow
+# and there is NO full-sweep fallback branch.  Exactness argument is
+# identical (one-sided-margin lower bound vs a true per-subtile upper
+# bound; ascending ids + strict '<' preserve the lowest-index tie-break
+# bit-for-bit).  The driver dispatches on warmth: the first ICP outer
+# iteration (+inf bounds, nothing prunable) keeps the static-sweep
+# kernel, every seeded iteration takes this one.
+# --------------------------------------------------------------------------
+
+
+def _nn_pairs_list_kernel(q_ref, db_ref, list_ref, cnt_ref, dist_ref,
+                          idx_ref, *rest, d_dim: int, f_dim: int,
+                          q_sub: int, q_grp: int, cap: int):
+    """One grid step = one query subtile of one pair, walking exactly
+    the chunks on the subtile's survivor list (production passes
+    q_grp == q_sub: one full-height walk per step; the finer-group walk
+    this supports measured slower — see nn_pallas_matched_pairs).
+
+    q_ref:    (q_sub, D)      this subtile's queries
+    db_ref:   (nc*8, 128)     this pair's chunk-sublane db (rows c*8+k =
+                              coordinate/payload row k of chunk c)
+    list_ref: (r8, cap) SMEM  this pair's survivor chunk ids (row
+                              t*G + g, G = q_sub // q_grp groups per
+                              subtile; tails padded with the row's first
+                              id — idempotent under the strict-< carry)
+    cnt_ref:  (r8, 1)   SMEM  survivor counts
+    outputs:  (q_sub, 1|f_dim)
+    """
+    if f_dim:
+        pay_ref, best_d, best_c, best_p = rest
+    else:
+        best_d, best_c = rest
+    t = pl.program_id(1)
+    n_grp = q_sub // q_grp
+    big = jnp.iinfo(jnp.int32).max
+
+    q = q_ref[:]  # (q_sub, D)
+    best_d[:] = jnp.full_like(best_d, jnp.inf)
+    best_c[:] = jnp.zeros_like(best_c)
+    if f_dim:
+        best_p[:] = jnp.zeros_like(best_p)
+
+    for g in range(n_grp):
+        row = t * n_grp + g
+        gsl = slice(g * q_grp, (g + 1) * q_grp)
+        cnt = cnt_ref[row, 0]
+
+        def chunk(c, gsl=gsl):
+            blk = db_ref[pl.ds(c * 8, 8), :]  # (8, 128): one vreg
+            dist = jnp.zeros((q_grp, 128), dtype=best_d.dtype)
+            for k in range(d_dim):
+                diff = q[gsl, k:k + 1] - blk[k:k + 1, :]
+                dist = dist + diff * diff
+            better = dist < best_d[gsl]  # strict: ascending ids win ties
+            best_d[gsl] = jnp.where(better, dist, best_d[gsl])
+            best_c[gsl] = jnp.where(better, c, best_c[gsl])
+            if f_dim:
+                for f in range(f_dim):
+                    fsl = slice(f * 128, (f + 1) * 128)
+                    best_p[gsl, fsl] = jnp.where(
+                        better, blk[d_dim + f:d_dim + f + 1, :],
+                        best_p[gsl, fsl],
+                    )
+
+        def body(j, u, row=row, chunk=chunk):
+            chunk(list_ref[row, 2 * j])
+            chunk(list_ref[row, 2 * j + 1])
+            return u
+
+        jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
+
+    bd = best_d[:]  # (q_sub, 128)
+    mn = jnp.min(bd, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+    gidx = best_c[:] * 128 + lane
+    cand = jnp.where(bd == mn, gidx, big)
+    winner = jnp.min(cand, axis=1, keepdims=True)
+    dist_ref[:] = mn
+    idx_ref[:] = winner
+    if f_dim:
+        one_hot = cand == winner
+        for f in range(f_dim):
+            pf = best_p[:, f * 128:(f + 1) * 128]
+            pay_ref[:, f:f + 1] = jnp.sum(
+                jnp.where(one_hot, pf, 0.0), axis=1, keepdims=True
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_dim", "q_sub", "q_grp", "interpret"),
+)
+def _nn_pairs_list_impl(query, dbf_cm, q_bound, d_dim: int, q_sub: int,
+                        q_grp: int, interpret: bool):
+    """Survivor-list pairs sweep; same contract as _nn_pairs_impl (which
+    documents the shapes).  Requires finite seeds to prune anything but
+    is exact for any q_bound that upper-bounds each query's NN distance
+    (+inf rows simply keep every chunk).
+
+    The prune TEST runs per q_grp-query group (its box and seeded bound
+    are tighter than the whole subtile's) but the kernel WALK stays per
+    subtile: a chunk enters a subtile's list iff ANY of its groups
+    needs it.  Group-granular WALKS measured slower (four quarter-
+    height fori loops per step cost more than the visits they save —
+    see nn_pallas_matched_pairs); the union test keeps the fast shape
+    and prunes chunks that only the subtile-level max-bound kept."""
+    b, n_q, _ = query.shape
+    f_total, m_db = dbf_cm.shape[1], dbf_cm.shape[2]
+    f_dim = f_total - d_dim
+    n_qt = n_q // q_sub
+    n_rows = n_q // q_grp  # prune-test rows per pair (groups)
+    n_grp = q_sub // q_grp
+    n_chunks = m_db // 128
+    r8 = _round_up(n_qt, 8)
+    cap = _round_up(n_chunks, 2)  # even: the kernel walks 2 per trip
+
+    # XLA prune pre-pass: one (B, n_rows, nc) elementwise bound matrix.
+    qt = query.reshape(b, n_rows, q_grp, d_dim)
+    qlo = jnp.min(qt, axis=2)  # (B, n_rows, D)
+    qhi = jnp.max(qt, axis=2)
+    cbox = jax.vmap(lambda cm: _tile_boxes(cm[:d_dim], 128))(dbf_cm)
+    a = cbox[:, None, :, :d_dim] - qhi[:, :, None, :]
+    bb = qlo[:, :, None, :] - cbox[:, None, :, 4:4 + d_dim]
+    g = jnp.maximum(jnp.maximum(a, bb), 0.0)
+    lb = jnp.sum(g * g, axis=-1)  # (B, n_rows, nc)
+    # One-sided margin (same argument as _nn_pruned_kernel).
+    lb = lb * (1.0 - 16.0 * jnp.finfo(lb.dtype).eps)
+    qbt = jnp.max(q_bound.reshape(b, n_rows, q_grp), axis=-1)
+    ok = lb <= qbt[..., None]
+    # Union the group tests into per-SUBTILE lists (the walk unit).
+    ok = jnp.any(ok.reshape(b, n_qt, n_grp, n_chunks), axis=2)
+    cnt = jnp.sum(ok, axis=-1).astype(jnp.int32)  # (B, n_qt)
+    key = jnp.where(
+        ok, jnp.arange(n_chunks, dtype=jnp.int32)[None, None, :],
+        jnp.int32(n_chunks),
+    )
+    srt = jnp.sort(key, axis=-1)
+    srt = jnp.pad(srt, ((0, 0), (0, 0), (0, cap - n_chunks)),
+                  constant_values=n_chunks)
+    pos = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+    lists = jnp.where(pos < cnt[..., None], srt, srt[..., :1])
+
+    # Per-pair chunk-sublane db: rows c*8+k hold row k of chunk c.
+    f8 = 8
+    db_sl = jnp.swapaxes(
+        dbf_cm.reshape(b, f_total, n_chunks, 128), 1, 2
+    )  # (B, nc, F, 128)
+    db_sl = jnp.pad(db_sl, ((0, 0), (0, 0), (0, f8 - f_total), (0, 0)))
+    db_sl = db_sl.reshape(b * n_chunks * f8, 128)
+
+    q2 = query.reshape(b * n_q, d_dim)
+    lists2 = jnp.pad(lists, ((0, 0), (0, r8 - n_qt), (0, 0))).reshape(
+        b * r8, cap)
+    cnt2 = jnp.pad(cnt, ((0, 0), (0, r8 - n_qt)))[..., None].reshape(
+        b * r8, 1)
+
+    kernel = functools.partial(
+        _nn_pairs_list_kernel, d_dim=d_dim, f_dim=f_dim, q_sub=q_sub,
+        q_grp=q_sub, cap=cap,
+    )
+    in_specs = [
+        pl.BlockSpec((q_sub, d_dim), lambda p, t: (p * n_qt + t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_chunks * f8, 128), lambda p, t: (p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r8, cap), lambda p, t: (p, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((r8, 1), lambda p, t: (p, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((q_sub, 1), lambda p, t: (p * n_qt + t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_sub, 1), lambda p, t: (p * n_qt + t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * n_q, 1), query.dtype),
+        jax.ShapeDtypeStruct((b * n_q, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((q_sub, 128), query.dtype),
+        pltpu.VMEM((q_sub, 128), jnp.int32),
+    ]
+    if f_dim:
+        out_specs.append(
+            pl.BlockSpec((q_sub, f_dim), lambda p, t: (p * n_qt + t, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b * n_q, f_dim), query.dtype)
+        )
+        scratch.append(pltpu.VMEM((q_sub, 128 * f_dim), query.dtype))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_qt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(q2, db_sl, lists2, cnt2)
+    if f_dim:
+        dist, idx, pay = out
+        return (dist.reshape(b, n_q), idx.reshape(b, n_q),
+                pay.reshape(b, n_q, f_dim))
+    dist, idx = out
+    return dist.reshape(b, n_q), idx.reshape(b, n_q), None
+
+
 def nn_pallas_matched_pairs(
     query: Array,
     db: Array,
@@ -1159,6 +1379,7 @@ def nn_pallas_matched_pairs(
     pair_blk: int = 8,
     q_sub: int = 256,
     q_grp: int | None = None,
+    list_grp: int = 64,
     interpret: bool = False,
 ):
     """Batched many-pair exact 1-NN with matched payload: (B, Nq, D)
@@ -1166,12 +1387,24 @@ def nn_pallas_matched_pairs(
     comment).  Returns (NNResult (B, Nq), matched (B, Nq, P)); same
     contract (incl. tie-breaks) as per-pair nn_pallas_matched.
     ``pair_blk`` is retained for API compatibility and unused: the
-    round-3 kernel grids (pair, subtile) directly."""
+    round-3 kernel grids (pair, subtile) directly.
+
+    Warmth dispatch (mirrors _nn_seeded_2d): with a q_bound, a lax.cond
+    sends runs whose bounds are all +inf/-inf (the first ICP outer
+    iteration) to the static-sweep kernel and every seeded run to the
+    survivor-list kernel — bit-identical outputs either way.  The prune
+    TEST runs per ``list_grp``-query group and the per-subtile list is
+    the union of its groups' survivors.  Anti-result (round 3): group-
+    granular WALKS prune more visits (census mean 3.2/6 at grp=64 vs
+    5.0/6 at 256) yet measure SLOWER (1.60 vs 1.34 ms/sweep at 209x768)
+    — four quarter-height (64, 128) fori walks per step cost more than
+    the full-height visits they save — so only the TEST is fine-grained
+    (benchmarks/profile_pairs_listgrp.py)."""
     del pair_blk
     if q_grp is None:
-        q_grp = q_sub  # finer groups measured SLOWER (anti-result:
-        # 24 pl.when regions/step cost more than the pruned compute;
-        # benchmarks/profile_nn_pairs.py round 3)
+        q_grp = q_sub  # finer groups in the STATIC kernel measured
+        # SLOWER (anti-result: 24 pl.when regions/step cost more than
+        # the pruned compute; benchmarks/profile_nn_pairs.py round 3)
     b, n_q, d_dim = query.shape
     m = db.shape[1]
     if payload is None:
@@ -1202,9 +1435,25 @@ def nn_pallas_matched_pairs(
     qb = jnp.pad(qb, ((0, b_pad - b), (0, q_pad - n_q)),
                  constant_values=-jnp.inf)
 
-    dist, idx, pay = _nn_pairs_impl(
-        query_p, dbf_cm, qb, d_dim, q_sub, q_grp, interpret
-    )
+    if q_bound is None:
+        dist, idx, pay = _nn_pairs_impl(
+            query_p, dbf_cm, qb, d_dim, q_sub, q_grp, interpret
+        )
+    else:
+        warm = jnp.any(jnp.isfinite(qb))
+
+        def cold_fn(_):
+            return _nn_pairs_impl(
+                query_p, dbf_cm, qb, d_dim, q_sub, q_grp, interpret
+            )
+
+        def warm_fn(_):
+            return _nn_pairs_list_impl(
+                query_p, dbf_cm, qb, d_dim, q_sub,
+                min(list_grp, q_sub), interpret
+            )
+
+        dist, idx, pay = jax.lax.cond(warm, warm_fn, cold_fn, None)
     dist = _trim_sentinel(dist[:b, :n_q])
     res = NNResult(index=idx[:b, :n_q], dist_sq=dist)
     return res, pay[:b, :n_q, :]

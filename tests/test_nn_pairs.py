@@ -64,6 +64,23 @@ def test_pairs_kernel_seeded_bound_bit_identical():
     np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
 
 
+def test_pairs_kernel_tight_bound_odd_chunks():
+    """Survivor-list warm path with an eps-tight bound (== the true NN
+    distance) and an ODD chunk count (m=384 -> 3 chunks): exercises the
+    2-per-trip walk's padded tail (idempotent repeat of the first id)
+    and the one-sided prune margin at its boundary."""
+    q, db, dm = _pairs(b=4, n=256, m=384, d=2, seed=9)
+    base, bp = nn_pallas_matched_pairs(q, db, dm, q_sub=128,
+                                       interpret=True)
+    got, gp = nn_pallas_matched_pairs(q, db, dm, q_bound=base.dist_sq,
+                                      q_sub=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.index),
+                                  np.asarray(base.index))
+    np.testing.assert_array_equal(np.asarray(got.dist_sq),
+                                  np.asarray(base.dist_sq))
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(bp))
+
+
 def test_pairs_kernel_fully_masked_db_pair():
     q, db, dm = _pairs(b=3, n=256, m=256)
     dm = dm.at[1].set(False)  # pair 1 has no valid db points
