@@ -102,6 +102,31 @@ def _spatial_sort(points, mask, extras=(), method: str = "morton"):
     return pts, msk, out
 
 
+def presort_src(src, src_mask, dst, config: ICPConfig):
+    """Hoist the drivers' loop-invariant src sort out of a sequence loop.
+
+    The odometry runners keep frame 0 as the fixed src forever
+    (reference examples/scan2d.rs:65,88), yet each per-frame driver call
+    re-sorts it — inside the fused ``lax.scan`` that is one redundant
+    28.8k argsort+gather per frame (XLA does not hoist sorts out of the
+    while loop; the round-3 device trace showed both per-frame argsorts).
+
+    Returns ``(src, src_mask, presorted)``.  The permutation is computed
+    on the same scaled view the drivers sort (scaling is elementwise, so
+    scale-after-permute == permute-after-scale), making a driver call
+    with ``src_presorted=True`` bitwise-identical to the in-driver sort.
+    ``dst`` is consulted for the sort policy only (shapes/backend).
+    """
+    sort = _sort_enabled(src, dst, config)
+    if not sort:
+        return src, src_mask, False
+    view = _scaled(src.astype(config.compute_dtype), config)
+    order = spatial_order(view, src_mask, sort)
+    src = jnp.take_along_axis(src, order[..., None], axis=-2)
+    src_mask = jnp.take_along_axis(src_mask, order, axis=-1)
+    return src, src_mask, True
+
+
 def _is_identity(dt):
     """Per-batch-lane: is dt EXACTLY the identity (bitwise)?  Works for
     any rigid transform (SE(2) or SE(3)) via the rotation's size."""
@@ -224,11 +249,14 @@ def icp2d(
     initial_transform: RigidTransform2,
     config: ICPConfig = ICPConfig(),
     return_stats: bool = False,
+    src_presorted: bool = False,
 ):
     """2D scan-to-scan ICP. src/dst: (..., N|M, 2); masks over the point axes.
 
     Parity: reference Icp2d::estimate (src/lib.rs:105-130).
     With ``return_stats`` returns (transform, ICPStats).
+    ``src_presorted``: src already permuted by :func:`presort_src`
+    (sequence runners hoist the loop-invariant sort; bitwise-identical).
     """
     s = config.point_scale
     src = _scaled(src.astype(config.compute_dtype), config)
@@ -240,7 +268,8 @@ def icp2d(
     if sort:
         # Once per call (outer iterations reuse the order: a rigid motion
         # preserves spatial clustering, so tile locality persists).
-        src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
+        if not src_presorted:
+            src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
         dst, dst_mask, _ = _spatial_sort(dst, dst_mask, method=sort)
 
     def outer(t, aux):
@@ -292,12 +321,14 @@ def icp3d_planar(
     initial_transform: RigidTransform2,
     config: ICPConfig = ICPConfig(),
     return_stats: bool = False,
+    src_presorted: bool = False,
 ):
     """3D matching, SE(2)-on-xy optimization (vehicle on the xy-plane).
 
     src/dst: (..., N|M, 3).  Parity: reference Icp3d::estimate
     (src/lib.rs:148-173): 1-NN in full 3D, solve on the xy projections,
-    z passes through the transform untouched.
+    z passes through the transform untouched.  ``src_presorted``: src
+    already permuted by :func:`presort_src` (bitwise-identical hoist).
     """
     s = config.point_scale
     src = _scaled(src.astype(config.compute_dtype), config)
@@ -307,7 +338,8 @@ def icp3d_planar(
     )
     sort = _sort_enabled(src, dst, config)
     if sort:
-        src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
+        if not src_presorted:
+            src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
         dst, dst_mask, _ = _spatial_sort(dst, dst_mask, method=sort)
 
     def transform_xy(t: RigidTransform2, pts: Array) -> Array:

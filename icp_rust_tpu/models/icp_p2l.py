@@ -75,6 +75,7 @@ def icp_point_to_plane(
     normals_method: str = "voxel",
     normals_voxel_size: float = 0.3,
     return_stats: bool = False,
+    src_presorted: bool = False,
 ):
     """src/dst: (..., N|M, 3).  Returns the SE(3) transform taking src to
     dst.  Pass ``dst_normals`` to reuse precomputed normals (e.g. for a
@@ -97,7 +98,9 @@ def icp_point_to_plane(
     )
 
     sort = _sort_enabled(src, dst, config)
-    if sort:
+    if sort and not src_presorted:
+        # src_presorted: sequence runners hoist this loop-invariant sort
+        # via models.icp2d.presort_src (bitwise-identical permutation).
         src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
 
     if dst_normals is None:

@@ -61,18 +61,21 @@ def run_odometry(
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("config", "with_stats"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "with_stats", "src_presorted")
+)
 def _odometry_step(src, dst, src_mask, dst_mask, t, config: ICPConfig,
-                   with_stats: bool = False):
+                   with_stats: bool = False, src_presorted: bool = False):
     """Single warm-started frame alignment + trajectory point (module-level
     so the jit cache persists across calls; a per-call closure would
     recompile every time, which is catastrophic with remote compilation)."""
     driver = icp2d if src.shape[-1] == 2 else icp3d_planar
     if with_stats:
         t, stats = driver(src, dst, src_mask, dst_mask, t, config,
-                          return_stats=True)
+                          return_stats=True, src_presorted=src_presorted)
         return t, t.inverse().t, stats
-    t = driver(src, dst, src_mask, dst_mask, t, config)
+    t = driver(src, dst, src_mask, dst_mask, t, config,
+               src_presorted=src_presorted)
     return t, t.inverse().t
 
 
@@ -108,9 +111,12 @@ def run_odometry_device(
     reproduces the remaining trajectory bitwise (the engine is
     deterministic given (src, t) state).
     """
+    from icp_rust_tpu.models.icp2d import presort_src
+
     pts = jnp.asarray(frames, config.compute_dtype)
     msk = jnp.asarray(masks)
-    src, src_mask = pts[0], msk[0]
+    # The fixed src's sort is loop-invariant — hoist it (bitwise-neutral).
+    src, src_mask, presorted = presort_src(pts[0], msk[0], pts[0], config)
     t = RigidTransform2.identity(dtype=config.compute_dtype)
     transforms, path = [], []
     start = 1
@@ -129,7 +135,7 @@ def run_odometry_device(
         if metrics is not None:
             metrics.start_frame()
         out = _odometry_step(src, pts[i], src_mask, msk[i], t, config,
-                             with_stats)
+                             with_stats, presorted)
         if with_stats:
             t, pos, stats = out
             metrics.end_frame(
@@ -153,10 +159,13 @@ def run_odometry_device(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "normals_voxel", "with_stats")
+    jax.jit,
+    static_argnames=("config", "normals_voxel", "with_stats",
+                     "src_presorted"),
 )
 def _p2l_step(src, dst, src_mask, dst_mask, t, config: ICPConfig,
-              normals_voxel: float, with_stats: bool = False):
+              normals_voxel: float, with_stats: bool = False,
+              src_presorted: bool = False):
     """Single warm-started SE(3) point-to-plane frame alignment (module-
     level jit for the same cache-persistence reason as _odometry_step)."""
     from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
@@ -165,11 +174,12 @@ def _p2l_step(src, dst, src_mask, dst_mask, t, config: ICPConfig,
         t, stats = icp_point_to_plane(
             src, dst, src_mask, dst_mask, t, config,
             normals_voxel_size=normals_voxel, return_stats=True,
+            src_presorted=src_presorted,
         )
         return t, t.inverse().t, stats
     t = icp_point_to_plane(
         src, dst, src_mask, dst_mask, t, config,
-        normals_voxel_size=normals_voxel,
+        normals_voxel_size=normals_voxel, src_presorted=src_presorted,
     )
     return t, t.inverse().t
 
@@ -194,10 +204,12 @@ def run_odometry_p2l(
     Returns (transforms list of RigidTransform3, path (F-1, 3) numpy).
     """
     from icp_rust_tpu.geometry.transform3d import RigidTransform3
+    from icp_rust_tpu.models.icp2d import presort_src
 
     pts = jnp.asarray(frames, config.compute_dtype)
     msk = jnp.asarray(masks)
-    src, src_mask = pts[0], msk[0]
+    # The fixed src's sort is loop-invariant — hoist it (bitwise-neutral).
+    src, src_mask, presorted = presort_src(pts[0], msk[0], pts[0], config)
     t = RigidTransform3.identity(dtype=config.compute_dtype)
     transforms, path = [], []
     start = 1
@@ -216,7 +228,7 @@ def run_odometry_p2l(
         if metrics is not None:
             metrics.start_frame()
         out = _p2l_step(src, pts[i], src_mask, msk[i], t, config,
-                        normals_voxel_size, with_stats)
+                        normals_voxel_size, with_stats, presorted)
         if with_stats:
             t, pos, stats = out
             metrics.end_frame(
@@ -245,9 +257,11 @@ def run_odometry_p2l(
 def _p2l_scan(pts, msk, config: ICPConfig, normals_voxel: float,
               with_stats: bool = False):
     from icp_rust_tpu.geometry.transform3d import RigidTransform3
+    from icp_rust_tpu.models.icp2d import presort_src
     from icp_rust_tpu.models.icp_p2l import icp_point_to_plane
 
-    src, src_mask = pts[0], msk[0]
+    # Hoist the fixed src's loop-invariant sort (see _odometry_scan).
+    src, src_mask, presorted = presort_src(pts[0], msk[0], pts[0], config)
     t0 = RigidTransform3.identity(dtype=pts.dtype)
 
     def step(t, frame):
@@ -256,11 +270,12 @@ def _p2l_scan(pts, msk, config: ICPConfig, normals_voxel: float,
             t, st = icp_point_to_plane(
                 src, dst, src_mask, dst_mask, t, config,
                 normals_voxel_size=normals_voxel, return_stats=True,
+                src_presorted=presorted,
             )
             return t, (t.rot, t.t, t.inverse().t, st)
         t = icp_point_to_plane(
             src, dst, src_mask, dst_mask, t, config,
-            normals_voxel_size=normals_voxel,
+            normals_voxel_size=normals_voxel, src_presorted=presorted,
         )
         return t, (t.rot, t.t, t.inverse().t)
 
@@ -305,17 +320,24 @@ def run_odometry_p2l_fused(
 
 @functools.partial(jax.jit, static_argnames=("config", "with_stats"))
 def _odometry_scan(pts, msk, config: ICPConfig, with_stats: bool = False):
+    from icp_rust_tpu.models.icp2d import presort_src
+
     driver = icp2d if pts.shape[-1] == 2 else icp3d_planar
-    src, src_mask = pts[0], msk[0]
+    # Frame 0 is the fixed src for the whole sequence; hoist its Morton
+    # sort out of the scan body (XLA does not hoist sorts out of while
+    # loops — the round-3 trace showed a redundant per-frame argsort).
+    # Bitwise-identical: presort_src applies the drivers' own permutation.
+    src, src_mask, presorted = presort_src(pts[0], msk[0], pts[0], config)
     t0 = RigidTransform2.identity(dtype=pts.dtype)
 
     def step(t, frame):
         dst, dst_mask = frame
         if with_stats:
             t, stats = driver(src, dst, src_mask, dst_mask, t, config,
-                              return_stats=True)
+                              return_stats=True, src_presorted=presorted)
             return t, (t.rot, t.t, t.inverse().t, stats)
-        t = driver(src, dst, src_mask, dst_mask, t, config)
+        t = driver(src, dst, src_mask, dst_mask, t, config,
+                   src_presorted=presorted)
         return t, (t.rot, t.t, t.inverse().t)
 
     _, out = jax.lax.scan(step, t0, (pts[1:], msk[1:]))
