@@ -39,15 +39,21 @@ def run_odometry(
     pts, mask = scan_io.pad_points(
         frames, multiple=pad_multiple or config.pad_multiple
     )
+    from icp_rust_tpu.models.icp2d import presort_src
+
     driver = icp2d if dim == 2 else icp3d_planar
+
+    dtype = config.compute_dtype
+    # The fixed src's sort is loop-invariant — hoist it (bitwise-neutral).
+    src, src_mask, presorted = presort_src(
+        jnp.asarray(pts[0], dtype), jnp.asarray(mask[0]),
+        jnp.asarray(pts[0], dtype), config
+    )
 
     @jax.jit
     def step(src, src_mask, dst, dst_mask, t_prev: RigidTransform2):
-        return driver(src, dst, src_mask, dst_mask, t_prev, config)
-
-    dtype = config.compute_dtype
-    src = jnp.asarray(pts[0], dtype)
-    src_mask = jnp.asarray(mask[0])
+        return driver(src, dst, src_mask, dst_mask, t_prev, config,
+                      src_presorted=presorted)
     t = RigidTransform2.identity(dtype=dtype)
     transforms, path = [], []
     for i in range(1, len(frames)):
