@@ -324,6 +324,12 @@ def cmd_slam3d(args):
 
 
 def main(argv=None):
+    # Warm-start init: repeat invocations of an unchanged fused program
+    # load its XLA executable from disk instead of recompiling (~20-40 s
+    # saved per program on TPU).  ICP_NO_COMPILE_CACHE=1 opts out.
+    from icp_rust_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     ap = argparse.ArgumentParser(prog="icp_rust_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

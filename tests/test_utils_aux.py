@@ -39,3 +39,33 @@ def test_save_state_atomic_overwrite(tmp_path):
     save_state(p, {"a": np.ones(3)})
     save_state(p, {"a": np.zeros(3)})
     np.testing.assert_array_equal(load_state(p)["a"], np.zeros(3))
+
+
+def test_compile_cache_writes_entries(tmp_path, monkeypatch):
+    """enable() points JAX's persistent compilation cache at the dir and a
+    jit compile actually lands an entry (min_compile_secs=0 so the tiny
+    CPU program qualifies)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_rust_tpu.utils.compile_cache import enable
+
+    cache_dir = os.path.join(tmp_path, "xla_cache")
+    assert enable(cache_dir, min_compile_secs=0.0)
+    try:
+        @jax.jit
+        def f(x):
+            return jnp.sin(x) * 41.5  # unique constant: fresh cache key
+
+        np.asarray(f(jnp.arange(8.0)))
+        assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_compile_cache_opt_out(tmp_path, monkeypatch):
+    from icp_rust_tpu.utils.compile_cache import enable
+
+    monkeypatch.setenv("ICP_NO_COMPILE_CACHE", "1")
+    assert not enable(os.path.join(tmp_path, "nope"))
+    assert not os.path.exists(os.path.join(tmp_path, "nope"))
