@@ -25,6 +25,7 @@ query tile is kept as (TQ, D) rows since TQ spans sublanes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -733,14 +734,32 @@ def nn_pallas(
 # carry.
 #
 # The kernel requires a valid finite seed, so the driver dispatches on
-# warmth (lax.cond): iteration 1 (+inf bounds) keeps the zig-zag carry-
-# pruned kernel, every later iteration takes this one.  Measured on the
-# 28800-pt 3D frames (Morton-sorted, steady-state seeds): 0.96 ms ->
-# 0.22 ms per sweep.
+# warmth (lax.cond): iteration 1 (+inf bounds) first buys a seed with the
+# decimated pre-pass below (ICP_NN_COLD_SEED=0 restores the zig-zag
+# carry-pruned kernel there), every later iteration takes this one
+# directly.  Measured on the 28800-pt 3D frames (Morton-sorted,
+# steady-state seeds): 0.96 ms -> 0.22 ms per sweep.
 # --------------------------------------------------------------------------
 
 _LIST_CAP = 48
 _LIST_UNROLL = 4
+
+# Cold-iteration seeding (round 3, late): iteration 1 has no previous-
+# iteration distances, so it used to take the zig-zag kernel (~0.90 ms on
+# the 28800-pt headline vs ~0.22 ms warm).  A DECIMATED pre-pass fixes
+# that: the exact NN distance among every _COLD_SEED_STRIDE-th db point
+# (a column stride of the Morton-sorted cloud, so the subset is spatially
+# spread) is a true upper bound on the full-db NN distance — a min over a
+# subset can only be larger — and it costs ~1/stride of a full sweep.
+# That bound warms the survivor-list path for iteration 1 too.  Exactness:
+# the subset distances are computed by the SAME kernel expression on the
+# same points, so the bound holds in computed f32 arithmetic; the usual
+# one-sided margins (deflated chunk lower bounds, inflated qb) guard the
+# box tests.  A loose bound can only overflow a row's survivor list,
+# which falls back to the exact full sweep.  ICP_NN_COLD_SEED=0 restores
+# the zig-zag cold path for A/B runs.
+_COLD_SEED_STRIDE = 8
+_COLD_SEED = os.environ.get("ICP_NN_COLD_SEED", "1")
 
 
 def _nn_list_kernel(q_ref, db_ref, list_ref, cnt_ref, dist_ref, idx_ref,
@@ -885,11 +904,12 @@ def _nn_seeded_2d(
     db_tile: int = 512,
     interpret: bool = False,
 ):
-    """Warmth-dispatched pruned NN: iteration 1 of an ICP outer loop has
-    no usable seed (+inf bounds) and takes the zig-zag carry-pruned
-    kernel; later iterations have finite seeds and take the survivor-
-    list kernel.  Same contract/outputs as _nn_pruned_2d, bit-identical
-    across the dispatch."""
+    """Warmth-dispatched pruned NN: iterations with finite seeds take the
+    survivor-list kernel directly; iteration 1 (+inf bounds) first buys
+    itself a seed with the decimated pre-pass (or, with
+    ICP_NN_COLD_SEED=0, takes the round-2 zig-zag carry-pruned kernel).
+    Same contract/outputs as _nn_pruned_2d, bit-identical across the
+    dispatch."""
     f_total, m_pad = dbf_cm.shape
     f_dim = f_total - d_dim
     n_chunks = m_pad // 128
@@ -907,13 +927,7 @@ def _nn_seeded_2d(
 
     warm = jnp.any(jnp.isfinite(q_bound))
 
-    def cold_fn(_):
-        return _nn_pruned_2d(
-            query_p, dbf_cm, q_bound, d_dim=d_dim, q_tile=q_tile,
-            db_tile=db_tile, interpret=interpret,
-        )
-
-    def warm_fn(_):
+    def _list_path(qb):
         qt = query_p.reshape(n_q, q_tile, d_dim)
         qlo = jnp.min(qt, axis=1)  # (n_q, d)
         qhi = jnp.max(qt, axis=1)
@@ -923,7 +937,7 @@ def _nn_seeded_2d(
         lb = jnp.sum(g * g, axis=-1)  # (n_q, nc)
         # One-sided margin, same argument as _nn_pruned_kernel.
         lb = lb * (1.0 - 16.0 * jnp.finfo(lb.dtype).eps)
-        qbt = jnp.max(q_bound.reshape(n_q, q_tile), axis=1)
+        qbt = jnp.max(qb.reshape(n_q, q_tile), axis=1)
         ok = lb <= qbt[:, None]
         cnt = jnp.sum(ok, axis=1).astype(jnp.int32)
         key = jnp.where(
@@ -939,6 +953,76 @@ def _nn_seeded_2d(
             query_p, db_sl, lists.astype(jnp.int32), cnt[:, None],
             d_dim, f_dim, q_tile, cap, interpret,
         )
+
+    def warm_fn(_):
+        return _list_path(q_bound)
+
+    if _COLD_SEED == "3":
+        # No warmth cond at all: ALWAYS run the decimated pre-pass and
+        # take the tighter of (real seed, decimated bound) — both are
+        # valid upper bounds, min stays valid; padded queries keep -inf.
+        # Rationale: measured evidence that the warmth lax.cond executes
+        # both branches inside the drivers' fused while loop, so a cond
+        # costs warm iterations the whole cold branch anyway.
+        sub = dbf_cm[:d_dim, ::_COLD_SEED_STRIDE]
+        m_sub = sub.shape[1]
+        m_sub_pad = _round_up(m_sub, 128)
+        sub = jnp.pad(sub, ((0, 0), (0, m_sub_pad - m_sub)),
+                      constant_values=_SENTINEL)
+        nc_sub = m_sub_pad // 128
+        sub_sl = jnp.swapaxes(sub.reshape(d_dim, nc_sub, 128), 0, 1)
+        sub_sl = jnp.pad(sub_sl, ((0, 0), (0, 8 - d_dim), (0, 0)))
+        sub_sl = sub_sl.reshape(nc_sub * 8, 128)
+        dist_sub = _nn_list_2d(
+            query_p, sub_sl,
+            jnp.zeros((n_q, 1), jnp.int32),
+            jnp.full((n_q, 1), 2, jnp.int32),  # > cap: full walk
+            d_dim, 0, q_tile, 1, interpret,
+        )[0]
+        qb_dec = dist_sub * (1.0 + 32.0 * jnp.finfo(dist_sub.dtype).eps)
+        return _list_path(jnp.minimum(q_bound, qb_dec))
+
+    if _COLD_SEED != "0":
+        def cold_fn(_):
+            # Decimated upper-bound pre-pass (module comment above): the
+            # subset is its own tiny sentinel-padded db in chunk-sublane
+            # layout, swept in the list kernel's full-walk branch (cnt >
+            # cap with cap=1 — no SMEM list traffic).  Built INSIDE the
+            # cold branch: the lane-strided gather is not free and XLA
+            # does not hoist it out of the drivers' outer while_loop, so
+            # outside the cond it taxed every WARM iteration (measured
+            # 147 -> 95 f/s on the headline).
+            sub = dbf_cm[:d_dim, ::_COLD_SEED_STRIDE]
+            m_sub = sub.shape[1]
+            m_sub_pad = _round_up(m_sub, 128)
+            sub = jnp.pad(sub, ((0, 0), (0, m_sub_pad - m_sub)),
+                          constant_values=_SENTINEL)
+            nc_sub = m_sub_pad // 128
+            sub_sl = jnp.swapaxes(sub.reshape(d_dim, nc_sub, 128), 0, 1)
+            sub_sl = jnp.pad(sub_sl, ((0, 0), (0, 8 - d_dim), (0, 0)))
+            sub_sl = sub_sl.reshape(nc_sub * 8, 128)
+            dist_sub = _nn_list_2d(
+                query_p, sub_sl,
+                jnp.zeros((n_q, 1), jnp.int32),
+                jnp.full((n_q, 1), 2, jnp.int32),  # > cap: full walk
+                d_dim, 0, q_tile, 1, interpret,
+            )[0]
+            # Defensive inflation (the subset distance is the same
+            # kernel expression on the same point, so it already bounds
+            # the computed best; 32 eps matches the drivers' margins).
+            qb = dist_sub * (1.0 + 32.0 * jnp.finfo(dist_sub.dtype).eps)
+            if _COLD_SEED == "2":  # A/B bisect: seeded zig-zag instead
+                return _nn_pruned_2d(
+                    query_p, dbf_cm, qb, d_dim=d_dim, q_tile=q_tile,
+                    db_tile=db_tile, interpret=interpret,
+                )
+            return _list_path(qb)
+    else:
+        def cold_fn(_):
+            return _nn_pruned_2d(
+                query_p, dbf_cm, q_bound, d_dim=d_dim, q_tile=q_tile,
+                db_tile=db_tile, interpret=interpret,
+            )
 
     return jax.lax.cond(warm, warm_fn, cold_fn, None)
 

@@ -149,23 +149,53 @@ def test_list_kernel_overflow_falls_back_to_full_sweep():
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
 
 
-def test_seeded_dispatch_cold_uses_zigzag():
-    """All-inf bounds (ICP iteration 1) -> the cold branch; output still
-    bit-identical to the unpruned sweep."""
-    from icp_rust_tpu.ops.nn_pallas import nn_pallas_matched
+def _cold_dispatch_case(cold_seed, db_mask=None, seed: int = 79):
+    """All-inf bounds (ICP iteration 1) -> the cold branch; output must be
+    bit-identical to the unpruned sweep under EITHER cold strategy (the
+    decimated-seed pre-pass or the zig-zag kernel)."""
+    from icp_rust_tpu.ops import nn_pallas as m
 
-    rng = np.random.default_rng(79)
+    rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.uniform(-3, 3, (256, 3)), jnp.float32)
     db = jnp.asarray(rng.uniform(-3, 3, (1536, 3)), jnp.float32)
-    want, want_p = nn_pallas_matched(q, db, q_tile=128, db_tile=256,
-                                     interpret=True, prune=False)
+    want, want_p = m.nn_pallas_matched(q, db, db_mask, q_tile=128,
+                                       db_tile=256, interpret=True,
+                                       prune=False)
     qb = jnp.full((256,), jnp.inf, jnp.float32)
-    got, got_p = nn_pallas_matched(q, db, q_tile=128, db_tile=256,
-                                   interpret=True, prune=True,
-                                   q_bound=qb)
+    old = m._COLD_SEED
+    m._COLD_SEED = str(cold_seed)
+    m._nn_seeded_2d.clear_cache()  # the flag is read at trace time
+    try:
+        got, got_p = m.nn_pallas_matched(q, db, db_mask, q_tile=128,
+                                         db_tile=256, interpret=True,
+                                         prune=True, q_bound=qb)
+    finally:
+        m._COLD_SEED = old
+        m._nn_seeded_2d.clear_cache()
     np.testing.assert_array_equal(np.asarray(got.index),
                                   np.asarray(want.index))
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_seeded_dispatch_cold_decimated_seed():
+    _cold_dispatch_case(cold_seed=1)
+
+
+def test_seeded_dispatch_no_cond_min_bound():
+    """Mode 3 (no warmth cond: decimated bound min'd with the seed)."""
+    _cold_dispatch_case(cold_seed=3)
+
+
+def test_seeded_dispatch_cold_zigzag():
+    _cold_dispatch_case(cold_seed=0)
+
+
+def test_seeded_dispatch_cold_decimated_masked_db():
+    """Heavy masking: the decimated subset is mostly sentinel; the bound
+    degrades toward the full-sweep fallback but stays exact."""
+    rng = np.random.default_rng(80)
+    dm = jnp.asarray(rng.random(1536) > 0.95)
+    _cold_dispatch_case(cold_seed=1, db_mask=dm, seed=80)
 
 
 def test_morton_order_properties():

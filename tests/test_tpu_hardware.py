@@ -536,7 +536,8 @@ def test_list_kernel_on_device():
     np.testing.assert_array_equal(np.asarray(got.dist_sq),
                                   np.asarray(want.dist_sq))
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
-    # cold: +inf seeds dispatch to the zig-zag branch
+    # cold: +inf seeds dispatch to the cold branch (the decimated-seed
+    # pre-pass by default; ICP_NN_COLD_SEED=0 would route to zig-zag)
     qb_inf = jnp.full((n,), jnp.inf, F32)
     cold, cold_p = nn_pallas_matched(q, db, dm, payload=pay, q_tile=256,
                                      db_tile=2048, prune=True,
