@@ -30,7 +30,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 DATA = os.path.join(REPO, "benchmarks", "data", "scans3d.hdf5")
 BASELINE_FILE = os.path.join(REPO, "benchmarks", "BASELINE_MEASURED.json")
 
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "12"))
+# 96 frames (not 12): the timed region is ONE fused device program, and
+# the remote-TPU tunnel charges a fixed ~27 ms dispatch+fetch per host-
+# timed call.  At 12 frames (11 timed, ~80 ms of device work) that fixed
+# cost shaved ~30% off the recorded frames/s (BENCH_r03 recorded 99 f/s
+# for a ~140 f/s program); at 96 frames it is ~4%.  The per-frame device
+# work is identical — this amortizes host overhead, it does not change
+# the workload.
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "96"))
 PAD_TO = 28800  # 225 * 128 lanes
 
 
@@ -38,14 +45,7 @@ def ensure_data():
     from icp_rust_tpu.utils import io as scan_io
 
     os.makedirs(os.path.dirname(DATA), exist_ok=True)
-    if not os.path.exists(DATA):
-        scan_io.synthesize_scans3d(DATA, n_frames=N_FRAMES, seed=0)
-    import h5py
-
-    with h5py.File(DATA, "r") as f:
-        traj = np.asarray(f.attrs["ground_truth_xytheta"])
-    frames = scan_io.load_scans3d_hdf5(DATA)
-    return frames[:N_FRAMES], traj[:N_FRAMES]
+    return scan_io.ensure_scans3d(DATA, N_FRAMES, seed=0)
 
 
 def gt_local_path(traj):

@@ -154,6 +154,33 @@ def synthesize_scans3d(
     return traj
 
 
+def ensure_scans3d(
+    path: str, n_frames: int, seed: int = 0
+) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Load (synthesizing or regenerating if absent/too short) the
+    benchmark 3D sequence; returns (frames[:n_frames], traj[:n_frames]).
+
+    Regenerates when an existing file holds fewer frames than asked:
+    silently loading a shorter sequence would shrink a benchmark's
+    workload.  Deterministic in (n_frames, seed) — a longer file's
+    prefix is NOT the same as a shorter synthesis (the rng streams
+    differ), so benches that share ``path`` should ask for the same
+    n_frames or tolerate regeneration.
+    """
+    import h5py
+
+    def n_avail() -> int:
+        with h5py.File(path, "r") as f:
+            return len(f.attrs["ground_truth_xytheta"])
+
+    if not os.path.exists(path) or n_avail() < n_frames:
+        synthesize_scans3d(path, n_frames=n_frames, seed=seed)
+    with h5py.File(path, "r") as f:
+        traj = np.asarray(f.attrs["ground_truth_xytheta"])
+    frames = load_scans3d_hdf5(path)
+    return frames[:n_frames], traj[:n_frames]
+
+
 def load_scans3d_hdf5(
     path: str, apply_range_filter: bool = True
 ) -> List[np.ndarray]:
