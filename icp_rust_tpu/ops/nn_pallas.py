@@ -349,6 +349,7 @@ def nn_pallas_matched(
             dist, idx, pay = _nn_seeded_2d(
                 query_p, dbf_cm, qb_p, d_dim=d_dim, q_tile=q_tile,
                 db_tile=db_tile, interpret=interpret,
+                cold_seed=_cold_seed_mode(),
             )
         else:
             fn = functools.partial(
@@ -683,6 +684,7 @@ def nn_pallas(
             dist, idx = _nn_seeded_2d(
                 query_p, db_cm, qb_p, d_dim=d_dim, q_tile=q_tile,
                 db_tile=db_tile, interpret=interpret,
+                cold_seed=_cold_seed_mode(),
             )
         else:
             fn = functools.partial(
@@ -760,6 +762,44 @@ _LIST_UNROLL = 4
 # the zig-zag cold path for A/B runs.
 _COLD_SEED_STRIDE = 8
 _COLD_SEED = os.environ.get("ICP_NN_COLD_SEED", "1")
+
+
+def _cold_seed_mode() -> str:
+    """The cold-seed strategy, read at the call site (trace time) and
+    passed to _nn_seeded_2d as a STATIC argument so the jit cache keys on
+    it — an in-process toggle of the module global retraces instead of
+    silently reusing the old strategy (ADVICE r3; no clear_cache()
+    needed).  ICP_NN_COLD_SEED seeds the global once at import."""
+    return _COLD_SEED
+
+
+def _decimated_bound(query_p, dbf_cm, d_dim: int, n_q: int, q_tile: int,
+                     interpret: bool):
+    """Decimated upper-bound pre-pass (module comment above): every
+    _COLD_SEED_STRIDE-th db column is its own tiny sentinel-padded db in
+    chunk-sublane layout, swept in the list kernel's full-walk branch
+    (cnt > cap with cap=1 — no SMEM list traffic).  Returns a per-query
+    true upper bound on the full-db NN distance², inflated by the
+    drivers' usual one-sided 32-eps margin."""
+    sub = dbf_cm[:d_dim, ::_COLD_SEED_STRIDE]
+    m_sub = sub.shape[1]
+    m_sub_pad = _round_up(m_sub, 128)
+    sub = jnp.pad(sub, ((0, 0), (0, m_sub_pad - m_sub)),
+                  constant_values=_SENTINEL)
+    nc_sub = m_sub_pad // 128
+    sub_sl = jnp.swapaxes(sub.reshape(d_dim, nc_sub, 128), 0, 1)
+    sub_sl = jnp.pad(sub_sl, ((0, 0), (0, 8 - d_dim), (0, 0)))
+    sub_sl = sub_sl.reshape(nc_sub * 8, 128)
+    dist_sub = _nn_list_2d(
+        query_p, sub_sl,
+        jnp.zeros((n_q, 1), jnp.int32),
+        jnp.full((n_q, 1), 2, jnp.int32),  # > cap: full walk
+        d_dim, 0, q_tile, 1, interpret,
+    )[0]
+    # Defensive inflation (the subset distance is the same kernel
+    # expression on the same point, so it already bounds the computed
+    # best; 32 eps matches the drivers' margins).
+    return dist_sub * (1.0 + 32.0 * jnp.finfo(dist_sub.dtype).eps)
 
 
 def _nn_list_kernel(q_ref, db_ref, list_ref, cnt_ref, dist_ref, idx_ref,
@@ -893,7 +933,9 @@ def _nn_list_2d(query_p, db_sl, lists, cnt, d_dim: int, f_dim: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d_dim", "q_tile", "db_tile", "interpret")
+    jax.jit,
+    static_argnames=("d_dim", "q_tile", "db_tile", "interpret",
+                     "cold_seed"),
 )
 def _nn_seeded_2d(
     query_p: Array,
@@ -903,6 +945,7 @@ def _nn_seeded_2d(
     q_tile: int = 256,
     db_tile: int = 512,
     interpret: bool = False,
+    cold_seed: str = "1",
 ):
     """Warmth-dispatched pruned NN: iterations with finite seeds take the
     survivor-list kernel directly; iteration 1 (+inf bounds) first buys
@@ -957,61 +1000,29 @@ def _nn_seeded_2d(
     def warm_fn(_):
         return _list_path(q_bound)
 
-    if _COLD_SEED == "3":
+    if cold_seed == "3":
         # No warmth cond at all: ALWAYS run the decimated pre-pass and
         # take the tighter of (real seed, decimated bound) — both are
         # valid upper bounds, min stays valid; padded queries keep -inf.
         # Rationale: measured evidence that the warmth lax.cond executes
         # both branches inside the drivers' fused while loop, so a cond
         # costs warm iterations the whole cold branch anyway.
-        sub = dbf_cm[:d_dim, ::_COLD_SEED_STRIDE]
-        m_sub = sub.shape[1]
-        m_sub_pad = _round_up(m_sub, 128)
-        sub = jnp.pad(sub, ((0, 0), (0, m_sub_pad - m_sub)),
-                      constant_values=_SENTINEL)
-        nc_sub = m_sub_pad // 128
-        sub_sl = jnp.swapaxes(sub.reshape(d_dim, nc_sub, 128), 0, 1)
-        sub_sl = jnp.pad(sub_sl, ((0, 0), (0, 8 - d_dim), (0, 0)))
-        sub_sl = sub_sl.reshape(nc_sub * 8, 128)
-        dist_sub = _nn_list_2d(
-            query_p, sub_sl,
-            jnp.zeros((n_q, 1), jnp.int32),
-            jnp.full((n_q, 1), 2, jnp.int32),  # > cap: full walk
-            d_dim, 0, q_tile, 1, interpret,
-        )[0]
-        qb_dec = dist_sub * (1.0 + 32.0 * jnp.finfo(dist_sub.dtype).eps)
+        qb_dec = _decimated_bound(
+            query_p, dbf_cm, d_dim, n_q, q_tile, interpret
+        )
         return _list_path(jnp.minimum(q_bound, qb_dec))
 
-    if _COLD_SEED != "0":
+    if cold_seed != "0":
         def cold_fn(_):
-            # Decimated upper-bound pre-pass (module comment above): the
-            # subset is its own tiny sentinel-padded db in chunk-sublane
-            # layout, swept in the list kernel's full-walk branch (cnt >
-            # cap with cap=1 — no SMEM list traffic).  Built INSIDE the
-            # cold branch: the lane-strided gather is not free and XLA
-            # does not hoist it out of the drivers' outer while_loop, so
-            # outside the cond it taxed every WARM iteration (measured
-            # 147 -> 95 f/s on the headline).
-            sub = dbf_cm[:d_dim, ::_COLD_SEED_STRIDE]
-            m_sub = sub.shape[1]
-            m_sub_pad = _round_up(m_sub, 128)
-            sub = jnp.pad(sub, ((0, 0), (0, m_sub_pad - m_sub)),
-                          constant_values=_SENTINEL)
-            nc_sub = m_sub_pad // 128
-            sub_sl = jnp.swapaxes(sub.reshape(d_dim, nc_sub, 128), 0, 1)
-            sub_sl = jnp.pad(sub_sl, ((0, 0), (0, 8 - d_dim), (0, 0)))
-            sub_sl = sub_sl.reshape(nc_sub * 8, 128)
-            dist_sub = _nn_list_2d(
-                query_p, sub_sl,
-                jnp.zeros((n_q, 1), jnp.int32),
-                jnp.full((n_q, 1), 2, jnp.int32),  # > cap: full walk
-                d_dim, 0, q_tile, 1, interpret,
-            )[0]
-            # Defensive inflation (the subset distance is the same
-            # kernel expression on the same point, so it already bounds
-            # the computed best; 32 eps matches the drivers' margins).
-            qb = dist_sub * (1.0 + 32.0 * jnp.finfo(dist_sub.dtype).eps)
-            if _COLD_SEED == "2":  # A/B bisect: seeded zig-zag instead
+            # The pre-pass is built INSIDE the cold branch: the
+            # lane-strided gather is not free and XLA does not hoist it
+            # out of the drivers' outer while_loop, so outside the cond
+            # it taxed every WARM iteration (measured 147 -> 95 f/s on
+            # the headline).
+            qb = _decimated_bound(
+                query_p, dbf_cm, d_dim, n_q, q_tile, interpret
+            )
+            if cold_seed == "2":  # A/B bisect: seeded zig-zag instead
                 return _nn_pruned_2d(
                     query_p, dbf_cm, qb, d_dim=d_dim, q_tile=q_tile,
                     db_tile=db_tile, interpret=interpret,

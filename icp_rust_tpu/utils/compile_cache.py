@@ -9,17 +9,27 @@ a disk hit instead of a recompile.
 
 Opt-out: ICP_NO_COMPILE_CACHE=1.  Cache dir resolution order:
 explicit argument > $ICP_COMPILE_CACHE_DIR > <repo>/.xla_compile_cache
-(repo-local, gitignored).
+(repo-local, gitignored) when running from a checkout, else
+~/.cache/icp_rust_tpu/xla.
 """
 
 from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".xla_compile_cache",
-)
+def _default_dir() -> str:
+    """Repo-local cache when running from a checkout; otherwise a user
+    cache dir (an installed package's parent is site-packages — writing
+    there may fail or pollute the install; ADVICE r3)."""
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if os.path.exists(os.path.join(pkg_parent, "bench.py")):
+        return os.path.join(pkg_parent, ".xla_compile_cache")
+    base = os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    return os.path.join(base, "icp_rust_tpu", "xla")
 
 
 def enable(path: str | None = None, min_compile_secs: float = 2.0) -> bool:
@@ -35,7 +45,7 @@ def enable(path: str | None = None, min_compile_secs: float = 2.0) -> bool:
         return False
     import jax
 
-    path = path or os.environ.get("ICP_COMPILE_CACHE_DIR") or _DEFAULT_DIR
+    path = path or os.environ.get("ICP_COMPILE_CACHE_DIR") or _default_dir()
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -51,6 +51,18 @@ def test_compile_cache_writes_entries(tmp_path, monkeypatch):
     from icp_rust_tpu.utils.compile_cache import enable
 
     cache_dir = os.path.join(tmp_path, "xla_cache")
+    # Snapshot ALL three config values enable() touches so the rest of
+    # the pytest session is unaffected (ADVICE r3: leaking
+    # min_compile_time_secs=0 would make any later cache-enabled test
+    # cache every tiny program).
+    saved = {
+        k: jax.config._read(k)
+        for k in (
+            "jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes",
+        )
+    }
     assert enable(cache_dir, min_compile_secs=0.0)
     try:
         @jax.jit
@@ -60,7 +72,8 @@ def test_compile_cache_writes_entries(tmp_path, monkeypatch):
         np.asarray(f(jnp.arange(8.0)))
         assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        for k, v in saved.items():
+            jax.config.update(k, v)
 
 
 def test_compile_cache_opt_out(tmp_path, monkeypatch):
