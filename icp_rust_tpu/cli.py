@@ -139,12 +139,16 @@ def cmd_odometry2d(args):
     t0 = _time.perf_counter()
     transforms = None
     if args.submap:
-        log.start_frame()
+        # Same observability surface as the scan-to-scan path: per-frame
+        # JSONL rows (device stats; wall time amortized per segment),
+        # every-K checkpoints of the full carry incl. the voxel hash
+        # map, and bitwise --resume (models/submap._run_fused_segmented).
         _, path = run_submap_odometry(
             pts, mask, cfg, voxel_size=args.voxel_size,
             capacity=args.map_capacity,
+            metrics=log if args.metrics else None,
+            checkpoint=ckpt, resume=args.resume,
         )
-        log.end_frame(len(frames) - 1)
     else:
         # Per-frame loop: JSONL metrics rows (device stats when --metrics
         # is set) and mid-run checkpoints every --every frames; --resume

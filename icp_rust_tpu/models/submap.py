@@ -86,6 +86,9 @@ def run_submap_odometry(
     probes: int = 8,
     with_metrics: bool = False,
     resort_every: int = 1,
+    metrics=None,
+    checkpoint=None,
+    resume: bool = False,
 ):
     """frames: (F, N, D) padded; masks: (F, N).  Frame 0 seeds the map.
     Returns (transforms scan->map per frame, trajectory (F-1, 2) of sensor
@@ -97,6 +100,17 @@ def run_submap_odometry(
     (outer iterations, Huber error, mean NN distance, inlier fraction)
     to the return.
 
+    Observability/resume (fused only — the 2D odometry path's surface,
+    VERDICT r2 checkpoint-partial closed): ``metrics`` takes a
+    utils.metrics.MetricsLogger (one JSONL row per frame with the device
+    stats); ``checkpoint`` a utils.checkpoint.SequenceCheckpointer — the
+    sequence then runs as compiled SEGMENTS of ``checkpoint.every``
+    frames with the full carry (transform, constant-velocity motion,
+    voxel hash map, map view order) saved atomically after each segment;
+    ``resume=True`` reloads the carry and reproduces the remaining
+    trajectory bitwise (segment boundaries realign because restore lands
+    exactly on one).
+
     Map extent: the hash map keys a FIXED 1024-cells-per-axis box
     (1024 * voxel_size per axis, ~51 m at the default voxel_size=0.05)
     centered on frame 0's centroid.  A trajectory leaving that box stops
@@ -105,8 +119,16 @@ def run_submap_odometry(
     sensor range fits.
     """
     if fused:
+        if metrics is not None or checkpoint is not None or resume:
+            return _run_fused_segmented(
+                frames, masks, config, voxel_size, capacity, probes,
+                with_metrics, resort_every, metrics, checkpoint, resume,
+            )
         return _run_fused(frames, masks, config, voxel_size, capacity,
                           probes, with_metrics, resort_every)
+    if metrics is not None or checkpoint is not None or resume:
+        raise ValueError("metrics/checkpoint/resume require the fused "
+                         "runner")
     if with_metrics:
         raise ValueError("with_metrics requires the fused runner")
     dtype = config.compute_dtype
@@ -138,37 +160,31 @@ def run_submap_odometry(
     return transforms, np.asarray(jnp.stack(path))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "voxel_size", "capacity", "probes",
-                     "with_metrics", "resort_every"),
-)
-def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
-                capacity: int, probes: int, with_metrics: bool = False,
-                resort_every: int = 1):
-    """Module-level jit (NOT a per-call closure: retracing+relowering this
-    program costs ~9 s per call — it dwarfed the device time until the
-    cache was made shared)."""
-    dtype = config.compute_dtype
-    dim = pts.shape[-1]
-    driver = icp2d if dim == 2 else icp3d_planar
-    origin = vh.origin_for(pts[0], msk[0], voxel_size)
-    m = vh.make_map(capacity, dim, origin, dtype)
-    m, d0 = vh.insert(m, pts[0], msk[0], voxel_size, probes)
-    t0 = RigidTransform2.identity(dtype=dtype)
-
-    # Queries in Morton order (sensor frame; rigid motion preserves the
-    # clustering) to match the per-frame map sort in the scan body; ONE
-    # vectorized pre-pass over all frames (sorting inside the body would
-    # re-pay it per frame).  Permutes the point axis only (f32 reduction
-    # order).  Morton (not azimuth): the round-3 survivor-list NN kernel
-    # prunes per 128-pt chunk, and compact Z-order patches leave ~7x
-    # fewer surviving chunks than azimuth sectors (ops/nn.morton_order).
+def _morton_sort_queries(pts, msk):
+    """Queries in Morton order (sensor frame; rigid motion preserves the
+    clustering) to match the per-frame map sort in the scan body; ONE
+    vectorized pre-pass over the frame batch (sorting inside the body
+    would re-pay it per frame).  Permutes the point axis only (f32
+    reduction order).  Morton (not azimuth): the round-3 survivor-list NN
+    kernel prunes per 128-pt chunk, and compact Z-order patches leave ~7x
+    fewer surviving chunks than azimuth sectors (ops/nn.morton_order).
+    Per-frame independent, so sorting a segment equals sorting the full
+    batch and slicing."""
     from icp_rust_tpu.ops.nn import spatial_order
 
     qorder = spatial_order(pts, msk, "morton")
     pts = jnp.take_along_axis(pts, qorder[..., None], axis=-2)
     msk = jnp.take_along_axis(msk, qorder, axis=-1)
+    return pts, msk
+
+
+def _make_step(config: ICPConfig, voxel_size: float, probes: int,
+               with_stats: bool, resort_every: int, dim: int):
+    """The per-frame scan body, shared by the whole-sequence program
+    (:func:`_fused_scan`) and the segmented checkpointable program
+    (:func:`_fused_segment`).  carry = (t, rel, map, order)."""
+    dtype = config.compute_dtype
+    driver = icp2d if dim == 2 else icp3d_planar
 
     def step(carry, fm):
         t, rel, m, order = carry
@@ -212,7 +228,7 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
         )
         map_pts = map_pts[order]
         map_mask = map_mask[order]
-        if with_metrics:
+        if with_stats:
             t_new, stats = driver(scan, map_pts, smask, map_mask, t_warm,
                                   config, return_stats=True)
         else:
@@ -225,9 +241,34 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
         scan_in_map = _apply_planar(t_new, scan, dtype)
         m, d = vh.insert(m, scan_in_map, smask, voxel_size, probes)
         out = (t_new.rot, t_new.t, d)
-        if with_metrics:
+        if with_stats:
             out = out + (stats,)
         return (t_new, rel_new, m, order), out
+
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "voxel_size", "capacity", "probes",
+                     "with_metrics", "resort_every"),
+)
+def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
+                capacity: int, probes: int, with_metrics: bool = False,
+                resort_every: int = 1):
+    """Module-level jit (NOT a per-call closure: retracing+relowering this
+    program costs ~9 s per call — it dwarfed the device time until the
+    cache was made shared)."""
+    dtype = config.compute_dtype
+    dim = pts.shape[-1]
+    origin = vh.origin_for(pts[0], msk[0], voxel_size)
+    m = vh.make_map(capacity, dim, origin, dtype)
+    m, d0 = vh.insert(m, pts[0], msk[0], voxel_size, probes)
+    t0 = RigidTransform2.identity(dtype=dtype)
+
+    pts, msk = _morton_sort_queries(pts, msk)
+    step = _make_step(config, voxel_size, probes, with_metrics,
+                      resort_every, dim)
 
     rel0 = RigidTransform2.identity(dtype=dtype)
     order0 = jnp.arange(capacity, dtype=jnp.int32)
@@ -240,6 +281,31 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
         return rots, ts, jnp.concatenate([d0[None], drops]), stats
     rots, ts, drops = outs
     return rots, ts, jnp.concatenate([d0[None], drops])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "voxel_size", "probes", "with_stats",
+                     "resort_every"),
+)
+def _fused_segment(t, rel, m, order, idx0, pts_seg, msk_seg,
+                   config: ICPConfig, voxel_size: float, probes: int,
+                   with_stats: bool, resort_every: int):
+    """One checkpointable SEGMENT of the fused submap scan: same step
+    body as :func:`_fused_scan`, but the carry (current transform,
+    constant-velocity relative motion, hash map, map view order) enters
+    and leaves the program, so the host can save it between segments and
+    a resumed run reproduces the remainder bitwise.  ``idx0`` is the
+    global index of the segment's first processed frame (traced, so
+    every full-length segment shares one compilation)."""
+    pts_seg, msk_seg = _morton_sort_queries(pts_seg, msk_seg)
+    step = _make_step(config, voxel_size, probes, with_stats,
+                      resort_every, pts_seg.shape[-1])
+    idx = idx0 + jnp.arange(pts_seg.shape[0], dtype=jnp.int32)
+    carry, outs = jax.lax.scan(
+        step, (t, rel, m, order), (idx, pts_seg, msk_seg)
+    )
+    return carry, outs
 
 
 def _run_fused(frames, masks, config, voxel_size, capacity, probes,
@@ -262,18 +328,7 @@ def _run_fused(frames, masks, config, voxel_size, capacity, probes,
     else:
         rots, ts, drops = out
     rots_np, ts_np = np.asarray(rots), np.asarray(ts)
-    n_dropped = int(np.asarray(drops).sum())
-    if n_dropped:
-        import warnings
-
-        warnings.warn(
-            f"submap hash map dropped {n_dropped} points across the "
-            f"sequence (probe exhaustion, or out of the fixed "
-            f"1024*voxel_size cell box) — grow `capacity` (power of two) "
-            f"or the voxel size",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+    _warn_drops(int(np.asarray(drops).sum()))
     transforms = [
         RigidTransform2(jnp.asarray(rots_np[i]), jnp.asarray(ts_np[i]))
         for i in range(len(ts_np))
@@ -281,3 +336,121 @@ def _run_fused(frames, masks, config, voxel_size, capacity, probes,
     if with_metrics:
         return transforms, ts_np.astype(np.float64), stats
     return transforms, ts_np.astype(np.float64)
+
+
+def _warn_drops(n_dropped: int):
+    if not n_dropped:
+        return
+    import warnings
+
+    warnings.warn(
+        f"submap hash map dropped {n_dropped} points across the "
+        f"sequence (probe exhaustion, or out of the fixed "
+        f"1024*voxel_size cell box) — grow `capacity` (power of two) "
+        f"or the voxel size",
+        RuntimeWarning,
+        stacklevel=4,
+    )
+
+
+def _run_fused_segmented(frames, masks, config, voxel_size, capacity,
+                         probes, with_metrics, resort_every, metrics,
+                         checkpoint, resume):
+    """Fused submap odometry in checkpointable segments (see
+    :func:`run_submap_odometry`).  Per-frame math is identical to
+    :func:`_fused_scan` — the same scan step runs on the same carried
+    state; only the program boundary moves, so K segments of one scan
+    cost K device dispatches instead of 1 (pick ``checkpoint.every`` to
+    taste the durability/latency trade on a remote link)."""
+    import time as _time
+
+    dtype = config.compute_dtype
+    pts = jnp.asarray(frames, dtype)
+    msk = jnp.asarray(masks)
+    dim = pts.shape[-1]
+    cfg = dataclasses.replace(config, nn_sort="none")
+    vsz, cap, prb = float(voxel_size), int(capacity), int(probes)
+    with_stats = bool(with_metrics) or metrics is not None
+    every = int(checkpoint.every) if checkpoint is not None else 16
+    f_total = pts.shape[0]
+
+    start = 1
+    state = checkpoint.restore() if (resume and checkpoint is not None) \
+        else None
+    if state is not None:
+        start = int(state["frame_cursor"]) + 1
+        t = RigidTransform2(jnp.asarray(state["t_rot"], dtype),
+                            jnp.asarray(state["t_t"], dtype))
+        rel = RigidTransform2(jnp.asarray(state["rel_rot"], dtype),
+                              jnp.asarray(state["rel_t"], dtype))
+        m = vh.VoxelHashMap(
+            jnp.asarray(state["map_key"]),
+            jnp.asarray(state["map_psum"], dtype),
+            jnp.asarray(state["map_cnt"], dtype),
+            jnp.asarray(state["map_origin"], dtype),
+        )
+        order = jnp.asarray(state["order"])
+        rots_np = list(state["rots"])
+        ts_np = list(state["ts"])
+        n_dropped = int(state["n_dropped"])
+    else:
+        origin = vh.origin_for(pts[0], msk[0], vsz)
+        m = vh.make_map(cap, dim, origin, dtype)
+        m, d0 = vh.insert(m, pts[0], msk[0], vsz, prb)
+        t = RigidTransform2.identity(dtype=dtype)
+        rel = RigidTransform2.identity(dtype=dtype)
+        order = jnp.arange(cap, dtype=jnp.int32)
+        rots_np, ts_np = [], []
+        n_dropped = int(np.asarray(d0))
+
+    stats_chunks = []
+    i = start
+    while i < f_total:
+        j = min(i + every, f_total)
+        if metrics is not None:
+            seg_t0 = _time.perf_counter()
+        (t, rel, m, order), outs = _fused_segment(
+            t, rel, m, order, jnp.int32(i - 1), pts[i:j], msk[i:j],
+            cfg, vsz, prb, with_stats, int(resort_every),
+        )
+        if with_stats:
+            rots, ts, drops, stats = outs
+            stats_chunks.append(jax.tree.map(np.asarray, stats))
+        else:
+            rots, ts, drops = outs
+        rots_np.extend(np.asarray(rots))
+        ts_np.extend(np.asarray(ts))
+        n_dropped += int(np.asarray(drops).sum())
+        if metrics is not None:
+            seg_dt = (_time.perf_counter() - seg_t0) / (j - i)
+            for k in range(j - i):
+                metrics.end_frame(
+                    i + k, seconds=seg_dt,
+                    huber_error=float(stats.huber_error[k]),
+                    mean_nn_dist=float(stats.mean_nn_dist[k]),
+                    inlier_fraction=float(stats.inlier_fraction[k]),
+                    extra={"outer_iters": int(stats.outer_iters[k])},
+                )
+        if checkpoint is not None:
+            checkpoint.save(j - 1, {
+                "t_rot": t.rot, "t_t": t.t,
+                "rel_rot": rel.rot, "rel_t": rel.t,
+                "map_key": m.key, "map_psum": m.psum, "map_cnt": m.cnt,
+                "map_origin": m.origin, "order": order,
+                "rots": np.stack(rots_np), "ts": np.stack(ts_np),
+                "n_dropped": n_dropped,
+            })
+        i = j
+
+    _warn_drops(n_dropped)
+    ts_arr = np.stack(ts_np) if ts_np else np.zeros((0, dim))
+    transforms = [
+        RigidTransform2(jnp.asarray(rots_np[k]), jnp.asarray(ts_np[k]))
+        for k in range(len(ts_np))
+    ]
+    if with_metrics:
+        stats = jax.tree.map(
+            lambda *xs: np.concatenate(xs), *stats_chunks
+        ) if stats_chunks else None
+        return transforms, ts_arr.astype(np.float64), stats
+    return transforms, ts_arr.astype(np.float64)

@@ -36,8 +36,14 @@ class MetricsLogger:
     def start_frame(self):
         self._t0 = time.perf_counter()
 
-    def end_frame(self, frame: int, **kwargs) -> FrameMetrics:
-        dt = time.perf_counter() - (self._t0 or time.perf_counter())
+    def end_frame(self, frame: int, seconds: Optional[float] = None,
+                  **kwargs) -> FrameMetrics:
+        """``seconds`` overrides the start_frame() wall clock — used by
+        fused/segmented runners that amortize one device dispatch over
+        many frames and report the per-frame share."""
+        dt = seconds if seconds is not None else (
+            time.perf_counter() - (self._t0 or time.perf_counter())
+        )
         rec = FrameMetrics(frame=frame, seconds=dt, **kwargs)
         self.records.append(rec)
         if self._fh:

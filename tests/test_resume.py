@@ -143,6 +143,60 @@ def test_p2l_runner_metrics_rows(tmp_path):
         assert r["extra"]["outer_iters"] >= 1
 
 
+def test_submap_segmented_matches_unsegmented():
+    """The checkpointable segmented submap runner executes the same scan
+    step on the same carried state — only the program boundary moves, so
+    the trajectory must match the single fused program."""
+    from icp_rust_tpu.models.submap import run_submap_odometry
+
+    frames, masks = _sequence(f=9)
+    _, path_one = run_submap_odometry(
+        frames, masks, REFERENCE_CONFIG, voxel_size=20.0,
+        capacity=1 << 12,
+    )
+    log = MetricsLogger(None)  # metrics forces the segmented path
+    _, path_seg = run_submap_odometry(
+        frames, masks, REFERENCE_CONFIG, voxel_size=20.0,
+        capacity=1 << 12, metrics=log,
+    )
+    np.testing.assert_allclose(path_seg, path_one, rtol=0, atol=1e-9)
+    assert len(log.records) == 8
+    for r in log.records:
+        assert np.isfinite(r.huber_error)
+        assert 0.0 <= r.inlier_fraction <= 1.0
+        assert r.extra["outer_iters"] >= 1
+
+
+def test_kill_and_resume_submap_bitwise(tmp_path):
+    """Kill-and-resume on the fused submap runner: the restored carry
+    (transform, relative motion, voxel hash map, view order) reproduces
+    the remaining trajectory bitwise vs the uninterrupted segmented run
+    with the same cadence."""
+    from icp_rust_tpu.models.submap import run_submap_odometry
+
+    frames, masks = _sequence(f=9)
+    kw = dict(config=REFERENCE_CONFIG, voxel_size=20.0, capacity=1 << 12)
+    ck_ref = str(tmp_path / "ck_ref.npz")
+    _, path_ref = run_submap_odometry(
+        frames, masks, checkpoint=SequenceCheckpointer(ck_ref, every=2),
+        **kw,
+    )
+
+    # "Crash" after frame 5 (frames 1..5 processed), then resume the
+    # full sequence from the saved cursor.
+    ck = str(tmp_path / "ck.npz")
+    _, _ = run_submap_odometry(
+        frames[:6], masks[:6],
+        checkpoint=SequenceCheckpointer(ck, every=2), **kw,
+    )
+    assert os.path.exists(ck)
+    _, path_res = run_submap_odometry(
+        frames, masks, checkpoint=SequenceCheckpointer(ck, every=2),
+        resume=True, **kw,
+    )
+    np.testing.assert_array_equal(path_res, path_ref)
+
+
 def test_submap_and_p2l_stats():
     """Per-frame stats from the fused submap runner and the p2l driver."""
     import jax.numpy as jnp
