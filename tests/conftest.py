@@ -38,6 +38,26 @@ if not TPU_TIER:
     xla_bridge._backend_factories.pop("axon", None)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Free compiled XLA executables after each test module.
+
+    The full CPU suite compiles several hundred programs (8 virtual
+    devices, x64) in one process; with jax/jaxlib 0.9.0 the run
+    reproducibly segfaulted inside ``backend_compile_and_load`` (LLVM
+    CPU JIT) after ~200 accumulated compilations — the same test passes
+    standalone, and a suite-tail subset passes too, so the crash
+    follows accumulated compiler state, not any one program.  Dropping
+    executables between modules keeps the in-process footprint bounded;
+    modules recompile what they share (small — each module mostly
+    compiles its own shapes)."""
+    yield
+    if not TPU_TIER:
+        import jax
+
+        jax.clear_caches()
+
+
 def pytest_collection_modifyitems(config, items):
     if TPU_TIER:
         # Even without `-m tpu` on the command line, never run the CPU/f64
