@@ -35,6 +35,7 @@ from icp_rust_tpu.config import ICPConfig
 from icp_rust_tpu.geometry.transform2d import RigidTransform2
 from icp_rust_tpu.ops import align2d
 from icp_rust_tpu.ops.nn import (
+    build_db_pack,
     nearest_neighbor,
     nearest_neighbor_matched,
     spatial_order,
@@ -271,6 +272,14 @@ def icp2d(
         if not src_presorted:
             src, src_mask, _ = _spatial_sort(src, src_mask, method=sort)
         dst, dst_mask, _ = _spatial_sort(dst, dst_mask, method=sort)
+    # KdTree-build analogue (src/lib.rs:97-102): pack the db ONCE per
+    # call — the kernel's chunk-sublane relayout is loop-invariant but
+    # XLA does not hoist it out of the outer while_loop (round-4 trace:
+    # ~675 tiny ops per outer iteration).  Bit-identical results.
+    db_pack = build_db_pack(src, dst, dst_mask,
+                            backend=config.nn_backend,
+                            tile=config.nn_dst_tile,
+                            method=config.nn_method)
 
     def outer(t, aux):
         prev_d2, prev_q = aux[0], aux[1]
@@ -286,7 +295,7 @@ def icp2d(
         res, matched = nearest_neighbor_matched(
             src_t, dst, dst_mask, backend=config.nn_backend,
             tile=config.nn_dst_tile, method=config.nn_method,
-            q_tile=config.nn_query_tile, q_bound=qb,
+            q_tile=config.nn_query_tile, q_bound=qb, db_pack=db_pack,
         )
         dt = align2d.estimate_transform(src_t, matched, src_mask, config)
         aux_next = (res.dist_sq, src_t)
@@ -350,6 +359,11 @@ def icp3d_planar(
     # payload carries 2 lanes, not the full 3D point (each payload lane
     # adds a select per 128-chunk to the kernel's hot loop).
     payload_xy = dst[..., :2]
+    # Per-call KdTree-build analogue — see icp2d.
+    db_pack = build_db_pack(src, dst, dst_mask, payload=payload_xy,
+                            backend=config.nn_backend,
+                            tile=config.nn_dst_tile,
+                            method=config.nn_method)
 
     def outer(t, aux):
         prev_d2, prev_xy = aux[0], aux[1]
@@ -365,7 +379,7 @@ def icp3d_planar(
             src_t, dst, dst_mask, payload=payload_xy,
             backend=config.nn_backend, tile=config.nn_dst_tile,
             method=config.nn_method, q_tile=config.nn_query_tile,
-            q_bound=qb,
+            q_bound=qb, db_pack=db_pack,
         )
         dt = align2d.estimate_transform(
             src_t[..., :2], matched_xy, src_mask, config

@@ -23,7 +23,7 @@ from icp_rust_tpu.models.icp2d import (
     _spatial_sort,
 )
 from icp_rust_tpu.ops import align3d
-from icp_rust_tpu.ops.nn import nearest_neighbor_matched
+from icp_rust_tpu.ops.nn import build_db_pack, nearest_neighbor_matched
 from icp_rust_tpu.ops.normals import estimate_normals, estimate_normals_voxel
 
 
@@ -131,6 +131,13 @@ def icp_point_to_plane(
     # select per 128-chunk to the kernel's hot loop; 7 lanes measured
     # ~3x the pruned sweep, 4 lanes restore most of it).
     payload = build_p2l_payload(dst, normals, n_valid, dst_mask, dtype)
+    # Per-call KdTree-build analogue (models/icp2d.icp2d): pack the db
+    # once so the kernel's chunk-sublane relayout stays out of the
+    # outer while_loop.  Bit-identical results.
+    db_pack = build_db_pack(src, dst, dst_mask, payload=payload,
+                            backend=config.nn_backend,
+                            tile=config.nn_dst_tile,
+                            method=config.nn_method)
 
     def outer(t, aux):
         prev_d2, prev_q = aux[0], aux[1]
@@ -145,7 +152,7 @@ def icp_point_to_plane(
             src_t, dst, dst_mask, payload=payload,
             backend=config.nn_backend, tile=config.nn_dst_tile,
             method=config.nn_method, q_tile=config.nn_query_tile,
-            q_bound=qb,
+            q_bound=qb, db_pack=db_pack,
         )
         matched_n, matched, matched_ok = decode_p2l_payload(
             pay, res.dist_sq

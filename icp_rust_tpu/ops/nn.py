@@ -280,6 +280,41 @@ def nearest_neighbor(
     return nn_xla(query, db, db_mask, tile=tile, method=method)
 
 
+def build_db_pack(
+    query: Array,
+    db: Array,
+    db_mask: Array | None = None,
+    payload: Array | None = None,
+    backend: str = "auto",
+    tile: int = 2048,
+    method: str = "direct",
+):
+    """Per-frame NN index build — the KdTree::new analogue (reference
+    src/lib.rs:97-102 builds its tree once per frame; here the analogous
+    loop-invariant work is the Pallas kernels' chunk-sublane db relayout
+    + per-chunk boxes, which XLA does NOT hoist out of the ICP outer
+    while_loop).  Returns a ``nn_pallas.PackedDB`` when the seeded
+    single-cloud Pallas path would serve (query, db)-shaped matched
+    calls, else None; pass the result to nearest_neighbor_matched as
+    ``db_pack`` — results are bit-identical."""
+    if query.ndim != 2:
+        return None
+    if use_pairs_nn(query, db, backend, method):
+        return None
+    if not use_pallas_nn(query, db, backend, method):
+        return None
+    d_dim = db.shape[-1]
+    p = payload.shape[-1] if payload is not None else d_dim
+    if d_dim + p > 8:
+        return None
+    m_pad = -(-db.shape[-2] // tile) * tile
+    if m_pad // tile < 3:
+        return None  # pruning disabled at <3 tiles; no seeded path
+    from icp_rust_tpu.ops import nn_pallas
+
+    return nn_pallas.pack_db(db, db_mask, payload, db_tile=tile)
+
+
 def nearest_neighbor_matched(
     query: Array,
     db: Array,
@@ -290,6 +325,7 @@ def nearest_neighbor_matched(
     method: str = "direct",
     q_tile: int = 512,
     q_bound: Array | None = None,
+    db_pack=None,
 ):
     """1-NN that also returns the winner's payload (default: the matched
     db point), replacing the caller's post-hoc take_along_axis gather —
@@ -315,7 +351,7 @@ def nearest_neighbor_matched(
 
         return nn_pallas.nn_pallas_matched(
             query, db, db_mask, payload=payload, q_tile=q_tile,
-            db_tile=tile, q_bound=q_bound,
+            db_tile=tile, q_bound=q_bound, db_pack=db_pack,
         )
     res = nn_xla(query, db, db_mask, tile=tile, method=method)
     if payload is None:

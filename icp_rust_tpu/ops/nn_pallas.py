@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -296,6 +297,7 @@ def nn_pallas_matched(
     interpret: bool = False,
     prune: bool = True,
     q_bound: Array | None = None,
+    db_pack: "PackedDB | None" = None,
 ):
     """Exact 1-NN returning (NNResult, matched_payload (..., Q, P)).
 
@@ -307,6 +309,10 @@ def nn_pallas_matched(
     ``q_bound`` (..., Q): optional upper bound on each query's NN
     distance² (e.g. last ICP iteration's distance plus query movement,
     squared) — seeds the prune threshold, results are bit-identical.
+    ``db_pack``: a :func:`pack_db` result over (db, db_mask, payload,
+    db_tile) — callers in an outer loop over a FIXED db (ICP drivers)
+    build it once per frame so the db relayout stays out of the loop;
+    db/payload are still consulted for shapes.
     """
     *batch, q, d_dim = query.shape
     m = db.shape[-2]
@@ -316,19 +322,11 @@ def nn_pallas_matched(
     q_pad = _round_up(q, q_tile)
     m_pad = _round_up(m, db_tile)
     pad_q = [(0, 0)] * (query.ndim - 2) + [(0, q_pad - q), (0, 0)]
-    pad_m = [(0, 0)] * (db.ndim - 2) + [(0, m_pad - m), (0, 0)]
     query_p = jnp.pad(query, pad_q)
-    sentinel = jnp.asarray(_SENTINEL, db.dtype)
-    if db_mask is not None:
-        db = jnp.where(db_mask[..., None], db, sentinel)
-    db_p = jnp.pad(db, pad_m, constant_values=sentinel)
-    pay_p = jnp.pad(
-        payload,
-        [(0, 0)] * (payload.ndim - 2) + [(0, m_pad - m), (0, 0)],
-    )
-    dbf_cm = jnp.concatenate(
-        [jnp.swapaxes(db_p, -1, -2), jnp.swapaxes(pay_p, -1, -2)], axis=-2
-    )
+    if db_pack is not None:
+        dbf_cm = db_pack.dbf_cm
+    else:
+        dbf_cm = _dbf_cm_matched(db, db_mask, payload, m_pad)
 
     if prune and m_pad // db_tile < 3:
         prune = False
@@ -346,9 +344,13 @@ def nn_pallas_matched(
         if q_bound is not None and not batch and d_dim + payload.shape[-1] <= 8:
             # Warmth-dispatched: survivor-list kernel once seeds are
             # finite, zig-zag kernel on the cold first iteration.
+            if db_pack is not None:
+                db_sl, cbox = db_pack.db_sl, db_pack.cbox
+            else:
+                db_sl, cbox = _seeded_prep(dbf_cm, d_dim)
             dist, idx, pay = _nn_seeded_2d(
-                query_p, dbf_cm, qb_p, d_dim=d_dim, q_tile=q_tile,
-                db_tile=db_tile, interpret=interpret,
+                query_p, dbf_cm, db_sl, cbox, qb_p, d_dim=d_dim,
+                q_tile=q_tile, db_tile=db_tile, interpret=interpret,
                 cold_seed=_cold_seed_mode(),
             )
         else:
@@ -681,9 +683,10 @@ def nn_pallas(
                 constant_values=-jnp.inf,
             )
         if q_bound is not None and not batch and d_dim <= 8:
+            db_sl, cbox = _seeded_prep(db_cm, d_dim)
             dist, idx = _nn_seeded_2d(
-                query_p, db_cm, qb_p, d_dim=d_dim, q_tile=q_tile,
-                db_tile=db_tile, interpret=interpret,
+                query_p, db_cm, db_sl, cbox, qb_p, d_dim=d_dim,
+                q_tile=q_tile, db_tile=db_tile, interpret=interpret,
                 cold_seed=_cold_seed_mode(),
             )
         else:
@@ -745,6 +748,9 @@ def nn_pallas(
 
 _LIST_CAP = 48
 _LIST_UNROLL = 4
+# Query groups per tile for the survivor bound test (q_tile must divide
+# evenly); 1 restores the whole-tile test for A/B runs.
+_LIST_GROUPS = int(os.environ.get("ICP_NN_LIST_GROUPS", "4"))
 
 # Cold-iteration seeding (round 3, late): iteration 1 has no previous-
 # iteration distances, so it used to take the zig-zag kernel (~0.90 ms on
@@ -773,14 +779,61 @@ def _cold_seed_mode() -> str:
     return _COLD_SEED
 
 
+def _center_bound(query_p, cbox, d_dim: int):
+    """Cold-iteration upper bound on each query's NN distance² from the
+    per-chunk boxes alone — NO decimated-db gather.
+
+    For any chunk and any of its points p: dist(q, p) <= dist(q, center)
+    + half-diagonal (triangle inequality), and when every point of the
+    chunk is valid that p is a legal NN candidate, so the min over
+    chunks upper-bounds the true NN distance.  Chunks containing
+    sentinel-masked or padded lanes have half-diagonals ~1e30: their
+    term is astronomically large — valid (an upper bound may be loose)
+    and self-excluding from the min.  If ALL chunks are polluted the
+    bound degenerates to ~inf and the list path falls back to the exact
+    full sweep.
+
+    Replaces the round-3 stride-8 decimated pre-pass: its lane-strided
+    gather lowered to a ~3,800-iteration SCALAR while loop on TPU
+    (row-by-row dynamic-slice/update; round-4 device trace) costing
+    several ms per frame — the real owner of the headline's
+    unaccounted budget.  This is one fused elementwise+reduce pass over
+    (Q, n_chunks) instead.
+    """
+    lo = cbox[None, :, :d_dim]           # (1, nc, d)
+    hi = cbox[None, :, 4:4 + d_dim]
+    # Fully-empty (all-padding) chunks carry the box test's empty
+    # convention lo=+inf, hi=-inf; 0.5*(lo+hi) would be NaN and a single
+    # NaN poisons the min below — sanitize to a zero box and force the
+    # chunk's term to +inf instead (an empty chunk witnesses nothing).
+    empty = lo > hi                       # (1, nc, d)
+    lo = jnp.where(empty, 0.0, lo)
+    hi = jnp.where(empty, 0.0, hi)
+    center = 0.5 * (lo + hi)
+    half_diag = 0.5 * jnp.sqrt(
+        jnp.sum((hi - lo) * (hi - lo), axis=-1)
+    )  # (1, nc)
+    d2 = jnp.sum(
+        (query_p[:, None, :d_dim] - center) ** 2, axis=-1
+    )  # (Qp, nc)
+    eps = jnp.finfo(d2.dtype).eps
+    # Conservative fp inflation at each rounding site, then the drivers'
+    # usual one-sided 32-eps margin on the squared bound.
+    b = (jnp.sqrt(d2) * (1.0 + 8.0 * eps) + half_diag) ** 2
+    b = jnp.where(jnp.any(empty, axis=-1), jnp.inf, b)
+    return jnp.min(b, axis=1) * (1.0 + 32.0 * eps)
+
+
 def _decimated_bound(query_p, dbf_cm, d_dim: int, n_q: int, q_tile: int,
                      interpret: bool):
-    """Decimated upper-bound pre-pass (module comment above): every
-    _COLD_SEED_STRIDE-th db column is its own tiny sentinel-padded db in
-    chunk-sublane layout, swept in the list kernel's full-walk branch
-    (cnt > cap with cap=1 — no SMEM list traffic).  Returns a per-query
-    true upper bound on the full-db NN distance², inflated by the
-    drivers' usual one-sided 32-eps margin."""
+    """Decimated upper-bound pre-pass (kept for A/B via
+    ICP_NN_COLD_SEED=5; superseded by :func:`_center_bound` — the
+    lane-strided gather below lowers to a scalar row-copy while loop on
+    TPU): every _COLD_SEED_STRIDE-th db column is its own tiny
+    sentinel-padded db in chunk-sublane layout, swept in the list
+    kernel's full-walk branch (cnt > cap with cap=1 — no SMEM list
+    traffic).  Returns a per-query true upper bound on the full-db NN
+    distance², inflated by the drivers' usual one-sided 32-eps margin."""
     sub = dbf_cm[:d_dim, ::_COLD_SEED_STRIDE]
     m_sub = sub.shape[1]
     m_sub_pad = _round_up(m_sub, 128)
@@ -932,6 +985,81 @@ def _nn_list_2d(query_p, db_sl, lists, cnt, d_dim: int, f_dim: int,
     return dist[:, 0], idx[:, 0]
 
 
+class PackedDB(NamedTuple):
+    """Loop-invariant NN db preparation — the KdTree-build analogue
+    (reference src/lib.rs:97-102 builds its tree ONCE per frame).
+
+    The chunk-sublane relayout (db_sl) lowers to ~3 tiny XLA ops PER
+    128-pt CHUNK; left inside the drivers' outer while_loop it ran every
+    ICP iteration (~675 ops + inter-op gaps ≈ several ms/frame at 28.8k
+    points — XLA does NOT hoist it; round-4 device trace).  Drivers
+    build the pack once per frame, outside the outer loop, and pass it
+    through ``db_pack``.
+
+    Fields are exactly what nn_pallas_matched would compute inline:
+    dbf_cm (F_total, m_pad) sentinel-padded coordinate-major db+payload;
+    db_sl (n_chunks*8, 128) chunk-sublane layout; cbox (n_chunks, 8)
+    per-chunk coordinate bounds.  Bit-identical results either way.
+    """
+
+    dbf_cm: Array
+    db_sl: Array
+    cbox: Array
+
+
+def _seeded_prep(dbf_cm: Array, d_dim: int):
+    """(db_sl, cbox) for the survivor-list kernel from a padded
+    coordinate-major db — see PackedDB."""
+    f_total, m_pad = dbf_cm.shape
+    n_chunks = m_pad // 128
+    db_sl = jnp.swapaxes(
+        dbf_cm.reshape(f_total, n_chunks, 128), 0, 1
+    )  # (nc, F, 128)
+    db_sl = jnp.pad(db_sl, ((0, 0), (0, 8 - f_total), (0, 0)))
+    db_sl = db_sl.reshape(n_chunks * 8, 128)
+    cbox = _tile_boxes(dbf_cm[:d_dim], 128)  # (nc, 8)
+    return db_sl, cbox
+
+
+def _dbf_cm_matched(db, db_mask, payload, m_pad: int):
+    """Sentinel-padded coordinate-major [db; payload] rows — the exact
+    ops nn_pallas_matched runs inline (payload rows are NOT sentinel-
+    masked, matching the inline path: masked points can never win, so
+    their payload is dead)."""
+    m = db.shape[-2]
+    pad_m = [(0, 0)] * (db.ndim - 2) + [(0, m_pad - m), (0, 0)]
+    sentinel = jnp.asarray(_SENTINEL, db.dtype)
+    if db_mask is not None:
+        db = jnp.where(db_mask[..., None], db, sentinel)
+    db_p = jnp.pad(db, pad_m, constant_values=sentinel)
+    pay_p = jnp.pad(
+        payload,
+        [(0, 0)] * (payload.ndim - 2) + [(0, m_pad - m), (0, 0)],
+    )
+    return jnp.concatenate(
+        [jnp.swapaxes(db_p, -1, -2), jnp.swapaxes(pay_p, -1, -2)],
+        axis=-2,
+    )
+
+
+def pack_db(
+    db: Array,
+    db_mask: Array | None = None,
+    payload: Array | None = None,
+    db_tile: int = 2048,
+) -> PackedDB:
+    """Build the loop-invariant NN index over ``db`` (see PackedDB).
+    ``payload`` defaults to the db points themselves, mirroring
+    nn_pallas_matched."""
+    if payload is None:
+        payload = db
+    d_dim = db.shape[-1]
+    m_pad = _round_up(db.shape[-2], db_tile)
+    dbf_cm = _dbf_cm_matched(db, db_mask, payload, m_pad)
+    db_sl, cbox = _seeded_prep(dbf_cm, d_dim)
+    return PackedDB(dbf_cm=dbf_cm, db_sl=db_sl, cbox=cbox)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("d_dim", "q_tile", "db_tile", "interpret",
@@ -940,6 +1068,8 @@ def _nn_list_2d(query_p, db_sl, lists, cnt, d_dim: int, f_dim: int,
 def _nn_seeded_2d(
     query_p: Array,
     dbf_cm: Array,
+    db_sl: Array,
+    cbox: Array,
     q_bound: Array,
     d_dim: int,
     q_tile: int = 256,
@@ -952,36 +1082,43 @@ def _nn_seeded_2d(
     itself a seed with the decimated pre-pass (or, with
     ICP_NN_COLD_SEED=0, takes the round-2 zig-zag carry-pruned kernel).
     Same contract/outputs as _nn_pruned_2d, bit-identical across the
-    dispatch."""
+    dispatch.  db_sl/cbox come from :func:`_seeded_prep` — hoisted to
+    once per frame when the caller passes a PackedDB."""
     f_total, m_pad = dbf_cm.shape
     f_dim = f_total - d_dim
     n_chunks = m_pad // 128
     n_q = query_p.shape[0] // q_tile
     cap = min(_LIST_CAP, n_chunks)
 
-    # Loop-invariant db preps (the driver calls this inside a while_loop
-    # over outer iterations; XLA's LICM hoists these out).
-    db_sl = jnp.swapaxes(
-        dbf_cm.reshape(f_total, n_chunks, 128), 0, 1
-    )  # (nc, F, 128)
-    db_sl = jnp.pad(db_sl, ((0, 0), (0, 8 - f_total), (0, 0)))
-    db_sl = db_sl.reshape(n_chunks * 8, 128)
-    cbox = _tile_boxes(dbf_cm[:d_dim], 128)  # (nc, 8)
-
     warm = jnp.any(jnp.isfinite(q_bound))
 
     def _list_path(qb):
-        qt = query_p.reshape(n_q, q_tile, d_dim)
-        qlo = jnp.min(qt, axis=1)  # (n_q, d)
-        qhi = jnp.max(qt, axis=1)
+        # Survivor test per query GROUP (q_tile // _LIST_GROUPS
+        # consecutive Morton-ordered queries), unioned into the tile's
+        # list: a group's box spans a compact Z-order patch and its
+        # seeded bound maxes over the group only, so one outlier query
+        # contaminates its own group rather than the whole tile (the
+        # same union trick the pairs kernel uses, and the tile-size
+        # lesson behind q_tile=256 beating 512).  Exact: a chunk holding
+        # the true NN (or a tie) of query q in group g has
+        # lb(group box, chunk) <= dist(q, that point) <= qb(q) <=
+        # max-over-group qb, so it always survives; the union can only
+        # ADD chunks relative to any member's own test.  Bit-identical
+        # outputs — skipped chunks are in no tie set.
+        grp = _LIST_GROUPS if q_tile % max(_LIST_GROUPS, 1) == 0 else 1
+        qg = query_p.reshape(n_q * grp, q_tile // grp, d_dim)
+        qlo = jnp.min(qg, axis=1)  # (n_q*grp, d)
+        qhi = jnp.max(qg, axis=1)
         a = cbox[None, :, :d_dim] - qhi[:, None, :]
         b = qlo[:, None, :] - cbox[None, :, 4:4 + d_dim]
         g = jnp.maximum(jnp.maximum(a, b), 0.0)
-        lb = jnp.sum(g * g, axis=-1)  # (n_q, nc)
+        lb = jnp.sum(g * g, axis=-1)  # (n_q*grp, nc)
         # One-sided margin, same argument as _nn_pruned_kernel.
         lb = lb * (1.0 - 16.0 * jnp.finfo(lb.dtype).eps)
-        qbt = jnp.max(qb.reshape(n_q, q_tile), axis=1)
-        ok = lb <= qbt[:, None]
+        qbt = jnp.max(qb.reshape(n_q * grp, q_tile // grp), axis=1)
+        ok = jnp.any(
+            (lb <= qbt[:, None]).reshape(n_q, grp, n_chunks), axis=1
+        )
         cnt = jnp.sum(ok, axis=1).astype(jnp.int32)
         key = jnp.where(
             ok, jnp.arange(n_chunks, dtype=jnp.int32)[None, :],
@@ -1001,27 +1138,26 @@ def _nn_seeded_2d(
         return _list_path(q_bound)
 
     if cold_seed == "3":
-        # No warmth cond at all: ALWAYS run the decimated pre-pass and
-        # take the tighter of (real seed, decimated bound) — both are
+        # No warmth cond at all: ALWAYS compute the center bound and
+        # take the tighter of (real seed, center bound) — both are
         # valid upper bounds, min stays valid; padded queries keep -inf.
         # Rationale: measured evidence that the warmth lax.cond executes
         # both branches inside the drivers' fused while loop, so a cond
         # costs warm iterations the whole cold branch anyway.
-        qb_dec = _decimated_bound(
-            query_p, dbf_cm, d_dim, n_q, q_tile, interpret
-        )
-        return _list_path(jnp.minimum(q_bound, qb_dec))
+        qb_cb = _center_bound(query_p, cbox, d_dim)
+        return _list_path(jnp.minimum(q_bound, qb_cb))
 
     if cold_seed != "0":
         def cold_fn(_):
-            # The pre-pass is built INSIDE the cold branch: the
-            # lane-strided gather is not free and XLA does not hoist it
-            # out of the drivers' outer while_loop, so outside the cond
-            # it taxed every WARM iteration (measured 147 -> 95 f/s on
-            # the headline).
-            qb = _decimated_bound(
-                query_p, dbf_cm, d_dim, n_q, q_tile, interpret
-            )
+            # The pre-pass stays INSIDE the cold branch: outside the
+            # cond it taxed every WARM iteration (measured 147 -> 95 f/s
+            # on the headline before it was moved in).
+            if cold_seed == "5":  # A/B: round-3 decimated-db gather
+                qb = _decimated_bound(
+                    query_p, dbf_cm, d_dim, n_q, q_tile, interpret
+                )
+            else:
+                qb = _center_bound(query_p, cbox, d_dim)
             if cold_seed == "2":  # A/B bisect: seeded zig-zag instead
                 return _nn_pruned_2d(
                     query_p, dbf_cm, qb, d_dim=d_dim, q_tile=q_tile,

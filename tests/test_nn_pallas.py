@@ -219,3 +219,31 @@ def test_morton_order_properties():
         p[rng.integers(0, n_valid, 500)] - p[rng.integers(0, n_valid, 500)],
         axis=1).mean()
     assert adj < rand / 3
+
+
+def test_center_bound_is_valid_upper_bound():
+    """The cold-iteration chunk-center bound must upper-bound the true
+    NN distance^2 for EVERY query (an invalid bound silently breaks
+    pruning exactness), across random clouds, masks, and padding-induced
+    empty chunks."""
+    from icp_rust_tpu.ops.nn import nn_xla
+    from icp_rust_tpu.ops.nn_pallas import (
+        _center_bound, _dbf_cm_matched, _round_up, _tile_boxes,
+    )
+
+    rng = np.random.default_rng(123)
+    for m, db_tile, mask_p in ((3800, 1024, 0.1), (4096, 1024, 0.0),
+                               (2900, 512, 0.5)):
+        q = 512
+        query = jnp.asarray(rng.uniform(-5, 5, (q, 3)), jnp.float32)
+        db = jnp.asarray(rng.uniform(-5, 5, (m, 3)), jnp.float32)
+        mask = jnp.asarray(rng.random(m) >= mask_p)
+        m_pad = _round_up(m, db_tile)
+        dbf = _dbf_cm_matched(db, mask, db, m_pad)
+        cbox = _tile_boxes(dbf[:3], 128)
+        qb = np.asarray(_center_bound(query, cbox, 3))
+        true_d = np.asarray(nn_xla(query, db, mask).dist_sq)
+        assert not np.isnan(qb).any()
+        assert (qb >= true_d).all(), (
+            f"violations at m={m}: {(qb < true_d).sum()}"
+        )

@@ -545,3 +545,38 @@ def test_list_kernel_on_device():
     np.testing.assert_array_equal(np.asarray(cold.index),
                                   np.asarray(want.index))
     np.testing.assert_array_equal(np.asarray(cold_p), np.asarray(want_p))
+
+
+def test_db_pack_bit_identical_on_device():
+    """pack_db (the per-frame KdTree-build analogue) vs the inline db
+    prep: compiled-Mosaic bit-exactness through the warm survivor-list
+    path, the cold decimated-seed path, and the driver entry."""
+    from icp_rust_tpu.ops.nn import build_db_pack, nn_xla
+    from icp_rust_tpu.ops.nn_pallas import nn_pallas_matched, pack_db
+
+    rng = np.random.default_rng(11)
+    q, m = 2048, 8192
+    query = jnp.asarray(rng.uniform(-3, 3, (q, 3)), F32)
+    db = jnp.asarray(rng.uniform(-3, 3, (m, 3)), F32)
+    mask = jnp.asarray(rng.random(m) > 0.05)
+    pay = db[:, :2]
+    pack = pack_db(db, mask, pay, db_tile=2048)
+    want = nn_xla(query, db, mask)
+    # exact-distance seeds = tightest VALID bound (warm path)
+    qb = want.dist_sq * (1 + 32 * np.finfo(np.float32).eps)
+    for bound in (qb, jnp.full((q,), jnp.inf, F32)):
+        ref, ref_p = nn_pallas_matched(query, db, mask, payload=pay,
+                                       q_tile=256, db_tile=2048,
+                                       q_bound=bound)
+        got, got_p = nn_pallas_matched(query, db, mask, payload=pay,
+                                       q_tile=256, db_tile=2048,
+                                       q_bound=bound, db_pack=pack)
+        np.testing.assert_array_equal(np.asarray(got.index),
+                                      np.asarray(ref.index))
+        np.testing.assert_array_equal(np.asarray(got.index),
+                                      np.asarray(want.index))
+        np.testing.assert_array_equal(np.asarray(got_p),
+                                      np.asarray(ref_p))
+    # the dispatch-level builder gates + threads through identically
+    assert build_db_pack(query, db, mask, payload=pay, backend="pallas",
+                         tile=2048) is not None
