@@ -239,7 +239,11 @@ def _make_step(config: ICPConfig, voxel_size: float, probes: int,
             jnp.einsum("ij,j->i", t_inv.rot, t_new.t) + t_inv.t,
         )
         scan_in_map = _apply_planar(t_new, scan, dtype)
-        m, d = vh.insert(m, scan_in_map, smask, voxel_size, probes)
+        # salt=i: rotate the insert's overflow keep-set per frame (see
+        # voxel_hash.insert — a fixed keep-set carved a permanent
+        # spatial hole in the rolling map).
+        m, d = vh.insert(m, scan_in_map, smask, voxel_size, probes,
+                         salt=i)
         out = (t_new.rot, t_new.t, d)
         if with_stats:
             out = out + (stats,)

@@ -86,7 +86,8 @@ def insert(
     mask: Array,
     voxel_size: float,
     probes: int = 8,
-    compact_to: int = 7168,
+    compact_to: int | None = None,
+    salt: Array | int = 0,
 ):
     """Accumulate ``points[mask]`` into their voxels.  Returns
     (updated map, dropped count) — dropped = points whose cell could not
@@ -103,11 +104,17 @@ def insert(
     key (duplicate points of a cell all win together; existing cells
     hit in round 1).  So the active set is COMPACTED once after round 1
     (one cheap argsort + small gathers) and rounds 2..probes run at
-    ``compact_to`` rows (~1/4 the cost at the 28,800-pt default).  More
-    than ``compact_to`` unresolved actives only happens on a nearly
-    full or adversarially colliding table; the overflow is counted in
-    ``dropped`` exactly like probe exhaustion.  psum and cnt scatter as
-    ONE fused (D+1)-lane scatter-add per round."""
+    ``compact_to`` rows.  More than ``compact_to`` unresolved actives
+    happens on a well-loaded table (at load ~0.4 the actives are mostly
+    points of EXISTING cells placed past their home slot); the overflow
+    is counted in ``dropped`` exactly like probe exhaustion.  psum and
+    cnt scatter as ONE fused (D+1)-lane scatter-add per round.
+
+    ``compact_to`` defaults to max(7168, n_rows // 2): the round-3
+    fixed 7168 became a correctness cliff at ~50k occupied cells —
+    see the overflow-selection note below.  ``salt`` (traced scalar ok)
+    varies the overflow keep-set per call: rolling-map callers pass the
+    frame index so no cell can starve across frames."""
     capacity = m.key.shape[0]
     dtype = m.psum.dtype
     dim = points.shape[-1]
@@ -148,9 +155,26 @@ def insert(
 
     overflow = jnp.int32(0)
     n_rows = points.shape[0]
+    if compact_to is None:
+        compact_to = max(7168, n_rows // 2)
     if probes > 1 and n_rows > compact_to:
-        # Actives-first stable order; everything past compact_to drops.
-        order = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+        # Overflow selection must be spatially UNBIASED: the round-3
+        # stable actives-first order kept the first compact_to actives
+        # in the caller's (Morton-sorted) point order, so overflow
+        # always dropped the SAME spatial tail of every scan — a
+        # permanent hole in the rolling map that broke submap tracking
+        # at ~50k occupied cells (alignment bias -> ghost geometry ->
+        # frozen tracker).  Sorting actives by a salted per-cell hash
+        # spreads the dropped set uniformly over space, and the salt
+        # (frame index) rotates it per call so no cell starves.
+        scram = (cidu ^ (jnp.uint32(salt) * jnp.uint32(2654435761)))
+        scram = (scram * jnp.uint32(2246822519)) >> jnp.uint32(5)
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        sort_key = jnp.where(
+            active, (scram & jnp.uint32(0x3FFFFFFF)).astype(jnp.int32),
+            big,
+        )
+        order = jnp.argsort(sort_key, stable=True)
         idx = order[:compact_to]
         kept_active = active[idx]
         overflow = (
