@@ -66,6 +66,7 @@ def run_tpu(frames):
         point_scale=1.0,  # meter-scale synthetic data is f32-friendly
         det_rel_eps=1e-9,
         nn_dst_tile=int(os.environ.get("BENCH_NN_TILE", "2048")),
+        nn_query_tile=int(os.environ.get("BENCH_NN_QTILE", "256")),
         nn_backend=os.environ.get("BENCH_NN_BACKEND", "auto"),
         align_backend=os.environ.get("BENCH_ALIGN_BACKEND", "pallas"),
     )

@@ -46,6 +46,7 @@ def main():
         compute_dtype=jnp.float32,
         point_scale=3000.0,
         det_rel_eps=1e-9,
+        frame_backend=os.environ.get("BENCH_FRAME_BACKEND", "auto"),
     )
     pts_d = jax.block_until_ready(jnp.asarray(pts, cfg.compute_dtype))
     msk_d = jax.block_until_ready(jnp.asarray(mask))

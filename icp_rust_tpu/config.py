@@ -82,6 +82,18 @@ class ICPConfig:
     # einsums; every platform; the bit-reproducible parity path, and the
     # automatic fallback whenever the pallas conditions don't hold).
     align_backend: str = "pallas"
+    # Whole-FRAME fused kernel for small 2D scans: "auto" runs the
+    # entire Icp2d::estimate call (outer loop + exact NN + inner IRLS +
+    # bit-exact fixed-point exit) as ONE kernel launch whenever
+    # align_backend is pallas, the scans fit VMEM (<= frame_kernel_max
+    # points each) and no stats are requested — at scans/2d sizes the
+    # unfused path is launch/glue-bound, not compute-bound
+    # (ops/align2d_pallas._icp2d_frame_kernel).  "off" disables;
+    # "interpret" forces the kernel in interpret mode (CPU tests).
+    # Differs from the unfused pallas path at f32 roundoff only; the
+    # align_backend="xla" parity path is unaffected.
+    frame_backend: str = "auto"
+    frame_kernel_max: int = 2048
 
     def with_(self, **kwargs) -> "ICPConfig":
         return dataclasses.replace(self, **kwargs)

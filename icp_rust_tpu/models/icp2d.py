@@ -128,6 +128,39 @@ def presort_src(src, src_mask, dst, config: ICPConfig):
     return src, src_mask, True
 
 
+def _use_frame_kernel(src, dst, config: ICPConfig,
+                      return_stats: bool):
+    """Gate for the whole-frame fused kernels (config.frame_backend):
+    small f32 2D scans on TPU (or forced interpret mode for tests).
+    The kernels' unpruned (M, 128) distance blocks cap the db size —
+    exactly the regime where the unfused path is launch/glue-bound.
+    Returns None, "single" (one scan pair, one launch) or "pairs"
+    (batched: one pair per grid step, outer loops desynchronized)."""
+    if config.frame_backend == "off" or return_stats:
+        return None
+    if not (src.ndim in (2, 3) and src.shape[-1] == 2
+            and src.dtype == jnp.float32
+            and src.shape[-2] <= config.frame_kernel_max
+            and dst.shape[-2] <= config.frame_kernel_max):
+        return None
+    kind = "single" if src.ndim == 2 else "pairs"
+    if config.frame_backend == "interpret":
+        return kind
+    # "auto" takes the SINGLE-frame kernel only: the pair-grid variant
+    # measured 1,210 pairs/s vs the lockstep pipeline's ~3,500 at
+    # 209x768 — sacrificing the pair-vectorized IRLS (64 pairs share
+    # every radix pass) costs ~3x more than the per-outer launches it
+    # saves (docs/DESIGN.md round-4).  frame_backend="pairs" forces it
+    # (useful for small batches / the record).
+    if (config.align_backend == "pallas"
+            and jax.default_backend() == "tpu"):
+        if config.frame_backend == "auto" and kind == "single":
+            return kind
+        if config.frame_backend == "pairs":
+            return kind
+    return None
+
+
 def _is_identity(dt):
     """Per-batch-lane: is dt EXACTLY the identity (bitwise)?  Works for
     any rigid transform (SE(2) or SE(3)) via the rotation's size."""
@@ -265,6 +298,29 @@ def icp2d(
     t0 = _scale_transform(
         initial_transform.astype(config.compute_dtype), s
     )
+    frame_kind = _use_frame_kernel(src, dst, config, return_stats)
+    if frame_kind:
+        # Whole frame in ONE kernel launch (small-scan fast path): the
+        # unsorted db order matches the reference's tie-break directly,
+        # and no sort/pack/prune-bound glue is needed at all.  Batched
+        # calls take the pair-grid variant: one pair per grid step,
+        # each running its own outer loop to ITS fixed point.
+        from icp_rust_tpu.ops import align2d_pallas
+
+        fn = (align2d_pallas.icp2d_frame_pallas
+              if frame_kind == "single"
+              else align2d_pallas.icp2d_frame_pallas_pairs)
+        rot, t, _ = fn(
+            src, dst, src_mask, dst_mask, t0.rot, t0.t,
+            huber_k=config.huber_k / s,
+            det_rel_eps=config.det_rel_eps,
+            tol_d2=config.inner_delta_sq_tol,
+            inner_max_iter=config.inner_max_iter,
+            outer_iters=config.outer_iters,
+            point_scale=s,
+            interpret=config.frame_backend == "interpret",
+        )
+        return _unscale_transform(RigidTransform2(rot, t), s)
     sort = _sort_enabled(src, dst, config)
     if sort:
         # Once per call (outer iterations reuse the order: a rigid motion

@@ -597,17 +597,17 @@ def gn_stats_pallas_batched(
 _SMALL_ANGLE_F32 = float(jnp.finfo(jnp.float32).eps) ** 0.25
 
 
-def _inner_loop_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref, *,
-                       huber_k: float, det_rel_eps: float, tol_d2: float,
-                       max_iter: int, point_scale: float):
-    sx = sx_ref[:]
-    sy = sy_ref[:]
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    mask = m_ref[:] > 0.5
-    mf = jnp.where(mask, 1.0, 0.0)
-    n = jnp.sum(jnp.where(mask, 1, 0), dtype=jnp.int32)
-    nf = n.astype(jnp.float32)
+def _irls_loop(sx, sy, dx, dy, mask, mf, n, *, huber_k: float,
+               det_rel_eps: float, tol_d2: float, max_iter: int,
+               point_scale: float):
+    """The fixed-correspondence IRLS while_loop on in-kernel values.
+
+    Shared verbatim by :func:`_inner_loop_kernel` (one launch per
+    estimate_transform call) and the whole-frame ICP kernel
+    (:func:`_icp2d_frame_kernel`), so both run the identical op
+    sequence.  Returns (r00, r01, r10, r11, tx, ty, it) starting from
+    identity — estimate_transform's exact stop-condition ordering
+    (reference src/lib.rs:59-84)."""
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
 
@@ -708,6 +708,20 @@ def _inner_loop_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref, *,
     r00, r01, r10, r11, tx, ty, it, done, _ = jax.lax.while_loop(
         cond, body, init
     )
+    return r00, r01, r10, r11, tx, ty, it
+
+
+def _inner_loop_kernel(sx_ref, sy_ref, dx_ref, dy_ref, m_ref, out_ref, *,
+                       huber_k: float, det_rel_eps: float, tol_d2: float,
+                       max_iter: int, point_scale: float):
+    mask = m_ref[:] > 0.5
+    mf = jnp.where(mask, 1.0, 0.0)
+    n = jnp.sum(jnp.where(mask, 1, 0), dtype=jnp.int32)
+    r00, r01, r10, r11, tx, ty, it = _irls_loop(
+        sx_ref[:], sy_ref[:], dx_ref[:], dy_ref[:], mask, mf, n,
+        huber_k=huber_k, det_rel_eps=det_rel_eps, tol_d2=tol_d2,
+        max_iter=max_iter, point_scale=point_scale,
+    )
     out_ref[0, 0] = r00
     out_ref[0, 1] = r01
     out_ref[0, 2] = r10
@@ -765,6 +779,327 @@ def estimate_transform_pallas(
     ])
     t = jnp.stack([out[0, 4], out[0, 5]])
     return rot, t
+
+
+# ---------------------------------------------------------------------------
+# The ENTIRE 2D ICP frame in one kernel launch.
+#
+# At 2D scan sizes (the reference's scans/2d dataset: 411-670 points) the
+# per-frame device work is microseconds — 670^2 exact-NN distances are
+# ~0.06 MFLOP-scale — so the fused per-frame cost is dominated by per-op
+# and per-launch overhead: each outer iteration pays one NN launch, one
+# inner-loop launch and ~15 XLA glue ops (apply_points, prune-bound
+# arithmetic that the unpruned small-scan path cannot even use, compose,
+# fixed-point test), all inside the sequence runners' lax.scan.  This
+# kernel runs the reference's whole Icp2d::estimate (src/lib.rs:105-130)
+# per launch: an outer while_loop carrying the transform as 6 scalars,
+# each iteration transforming src in-registers, sweeping the exact 1-NN
+# (db in a (M, 1) column layout so every query chunk is one broadcasted
+# (M, 128) distance block — queries ride lanes, db rows ride sublanes,
+# and the per-lane argmin is a cheap sublane reduction), then the
+# identical _irls_loop as estimate_transform_pallas, a scalar left-
+# compose, and the drivers' bit-exact dT == identity fixed-point exit.
+#
+# Exactness: the NN is the same strict-min / lowest-index tie-break as
+# every other kernel (here over the UNSORTED dst order — no pruning means
+# no spatial sort, which matches the reference's tie order directly);
+# masked db points carry the usual huge sentinel so they never win.
+# Results differ from the unfused pallas path at f32 roundoff only (the
+# in-kernel transform is mul-add rather than the XLA einsum).
+# VMEM: the (M, 128) distance block caps db size — the driver gates this
+# path to small scans (icp2d), where it is the entire point.
+# ---------------------------------------------------------------------------
+
+_NN_SENTINEL = 3e19  # matches ops/nn_pallas._SENTINEL
+
+
+def _icp_outer_loop(t0, sx, sy, mask, mf, n, dxv, dyv, *, huber_k: float,
+                    det_rel_eps: float, tol_d2: float,
+                    inner_max_iter: int, outer_iters: int,
+                    point_scale: float, n_qc: int):
+    """Icp2d::estimate as in-kernel values: outer while_loop carrying the
+    transform as 6 scalars, exact in-register 1-NN, the shared
+    :func:`_irls_loop`, scalar left-compose, bit-exact fixed-point exit.
+    ``t0``: 6 warm-start scalars; sx/sy/mf: (C, 128) query layout (rows
+    past n_qc must be masked); dxv/dyv: (M, 1) sentinel-masked db
+    columns.  Returns the 6 transform scalars + the outer count."""
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    row = jax.lax.broadcasted_iota(jnp.int32, sx.shape, 0)
+
+    def cond(c):
+        it, done = c[6], c[7]
+        return (it < outer_iters) & (done == 0)
+
+    def body(c):
+        r00, r01, r10, r11, tx, ty, it, done = c
+        # T(src), in the query layout (reference src/lib.rs:113-116).
+        stx = r00 * sx + r01 * sy + tx
+        sty = r10 * sx + r11 * sy + ty
+        # Exact 1-NN per query chunk: one (M, 128) block per chunk,
+        # statically unrolled (n_qc is tiny).  Deferred-argmin epilogue
+        # per block; matched coordinates extracted via the winner's
+        # one-hot (no gather).
+        mdx = jnp.zeros_like(sx)
+        mdy = jnp.zeros_like(sy)
+        for i in range(n_qc):
+            diffx = stx[i:i + 1, :] - dxv      # (M, 128)
+            diffy = sty[i:i + 1, :] - dyv
+            dist = diffx * diffx + diffy * diffy
+            bd = jnp.min(dist, axis=0, keepdims=True)      # (1, 128)
+            iota_m = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+            cand = jnp.where(dist == bd, iota_m, big)
+            win = jnp.min(cand, axis=0, keepdims=True)     # lowest index
+            oh = cand == win
+            mxr = jnp.sum(jnp.where(oh, dxv + jnp.zeros_like(dist), 0.0),
+                          axis=0, keepdims=True)
+            myr = jnp.sum(jnp.where(oh, dyv + jnp.zeros_like(dist), 0.0),
+                          axis=0, keepdims=True)
+            sel = row == i
+            mdx = jnp.where(sel, mxr, mdx)
+            mdy = jnp.where(sel, myr, mdy)
+        # estimate_transform on (transformed src, matched dst) — the
+        # identical op sequence as the one-launch inner-loop kernel.
+        d00, d01, d10, d11, dtx, dty, _ = _irls_loop(
+            stx, sty, mdx, mdy, mask, mf, n, huber_k=huber_k,
+            det_rel_eps=det_rel_eps, tol_d2=tol_d2,
+            max_iter=inner_max_iter, point_scale=point_scale,
+        )
+        # Bit-exact fixed point (models.icp2d._outer_fixed_point): an
+        # identity dT reproduces itself forever, so exit is exact.
+        isid = ((d00 == 1.0) & (d01 == 0.0) & (d10 == 0.0)
+                & (d11 == 1.0) & (dtx == 0.0) & (dty == 0.0))
+        # T <- dT o T (left-compose).
+        n00 = d00 * r00 + d01 * r10
+        n01 = d00 * r01 + d01 * r11
+        n10 = d10 * r00 + d11 * r10
+        n11 = d10 * r01 + d11 * r11
+        ntx = d00 * tx + d01 * ty + dtx
+        nty = d10 * tx + d11 * ty + dty
+        return (n00, n01, n10, n11, ntx, nty, it + 1,
+                jnp.where(isid, 1, 0))
+
+    init = t0 + (0, 0)
+    r00, r01, r10, r11, tx, ty, it, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    return r00, r01, r10, r11, tx, ty, it
+
+
+def _icp2d_frame_kernel(params_ref, sx_ref, sy_ref, m_ref, dxc_ref,
+                        dyc_ref, out_ref, **kw):
+    mask = m_ref[:] > 0.5
+    mf = jnp.where(mask, 1.0, 0.0)
+    n = jnp.sum(jnp.where(mask, 1, 0), dtype=jnp.int32)
+    t0 = (params_ref[0, 0], params_ref[0, 1], params_ref[0, 2],
+          params_ref[0, 3], params_ref[0, 4], params_ref[0, 5])
+    r00, r01, r10, r11, tx, ty, it = _icp_outer_loop(
+        t0, sx_ref[:], sy_ref[:], mask, mf, n, dxc_ref[:], dyc_ref[:],
+        **kw,
+    )
+    out_ref[0, 0] = r00
+    out_ref[0, 1] = r01
+    out_ref[0, 2] = r10
+    out_ref[0, 3] = r11
+    out_ref[0, 4] = tx
+    out_ref[0, 5] = ty
+    out_ref[0, 6] = it.astype(jnp.float32)
+    out_ref[0, 7] = 0.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("huber_k", "det_rel_eps", "tol_d2", "inner_max_iter",
+                     "outer_iters", "point_scale", "interpret"),
+)
+def icp2d_frame_pallas(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    rot0: Array,
+    t0: Array,
+    huber_k: float,
+    det_rel_eps: float,
+    tol_d2: float,
+    inner_max_iter: int,
+    outer_iters: int,
+    point_scale: float,
+    interpret: bool = False,
+):
+    """The whole warm-started 2D ICP call in ONE kernel launch.
+
+    src: (N, 2), dst: (M, 2) in solver units; masks over the point axes;
+    (rot0, t0) the warm-start transform.  Returns (rot, t, outer_iters) —
+    Icp2d::estimate semantics (src/lib.rs:105-130) with the bit-exact
+    fixed-point early exit, at f32 roundoff of the unfused pallas path.
+    """
+    n, m = src.shape[0], dst.shape[0]
+    n_pad = -(-n // _LANES) * _LANES
+    m_pad = -(-m // _LANES) * _LANES
+    src = jnp.pad(src, ((0, n_pad - n), (0, 0)))
+    sm = jnp.pad(src_mask.astype(jnp.float32), (0, n_pad - n))
+    sentinel = jnp.asarray(_NN_SENTINEL, dst.dtype)
+    dstm = jnp.where(dst_mask[:, None], dst, sentinel)
+    dstm = jnp.pad(dstm, ((0, m_pad - m), (0, 0)),
+                   constant_values=_NN_SENTINEL)
+
+    n_qc = n_pad // _LANES
+    shape = (n_qc, _LANES)
+    sx = src[:, 0].reshape(shape)
+    sy = src[:, 1].reshape(shape)
+    mf = sm.reshape(shape)
+    dxc = dstm[:, 0:1]
+    dyc = dstm[:, 1:2]
+    params = jnp.concatenate(
+        [rot0.reshape(-1), t0.reshape(-1), jnp.zeros(2, rot0.dtype)]
+    ).astype(jnp.float32).reshape(1, 8)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _icp2d_frame_kernel, huber_k=float(huber_k),
+            det_rel_eps=float(det_rel_eps), tol_d2=float(tol_d2),
+            inner_max_iter=int(inner_max_iter),
+            outer_iters=int(outer_iters),
+            point_scale=float(point_scale), n_qc=n_qc,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
+        interpret=interpret,
+    )(params, sx, sy, mf, dxc, dyc)
+    rot = jnp.stack([
+        jnp.stack([out[0, 0], out[0, 1]]),
+        jnp.stack([out[0, 2], out[0, 3]]),
+    ])
+    t = jnp.stack([out[0, 4], out[0, 5]])
+    return rot, t, out[0, 6].astype(jnp.int32)
+
+
+def _icp2d_frame_pairs_kernel(params_ref, sx_ref, sy_ref, m_ref, dxc_ref,
+                              dyc_ref, out_ref, **kw):
+    mask = m_ref[:] > 0.5
+    mf = jnp.where(mask, 1.0, 0.0)
+    n = jnp.sum(jnp.where(mask, 1, 0), dtype=jnp.int32)
+    t0 = (params_ref[0, 0], params_ref[0, 1], params_ref[0, 2],
+          params_ref[0, 3], params_ref[0, 4], params_ref[0, 5])
+    r00, r01, r10, r11, tx, ty, it = _icp_outer_loop(
+        t0, sx_ref[:], sy_ref[:], mask, mf, n, dxc_ref[:], dyc_ref[:],
+        **kw,
+    )
+    out_ref[0, 0] = r00
+    out_ref[0, 1] = r01
+    out_ref[0, 2] = r10
+    out_ref[0, 3] = r11
+    out_ref[0, 4] = tx
+    out_ref[0, 5] = ty
+    out_ref[0, 6] = it.astype(jnp.float32)
+    out_ref[0, 7] = 0.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("huber_k", "det_rel_eps", "tol_d2", "inner_max_iter",
+                     "outer_iters", "point_scale", "interpret"),
+)
+def icp2d_frame_pallas_pairs(
+    src: Array,
+    dst: Array,
+    src_mask: Array,
+    dst_mask: Array,
+    rot0: Array,
+    t0: Array,
+    huber_k: float,
+    det_rel_eps: float,
+    tol_d2: float,
+    inner_max_iter: int,
+    outer_iters: int,
+    point_scale: float,
+    interpret: bool = False,
+):
+    """A BATCH of whole warm-started 2D ICP calls, one pair per grid step.
+
+    src/dst: (B, N, 2) / (B, M, 2) in solver units; rot0 (B, 2, 2),
+    t0 (B, 2).  Returns (rot (B, 2, 2), t (B, 2), outer_iters (B,)).
+
+    Per-pair semantics are IDENTICAL to :func:`icp2d_frame_pallas`
+    (pairs are independent), but unlike the per-iteration lockstep
+    driver each pair runs its OWN outer loop to ITS bit-exact fixed
+    point — outer-loop desynchronization at pair granularity, with the
+    exact 1-NN fused in-kernel.  The per-outer pairs-NN + batched-IRLS
+    launch pipeline this replaces measured ~1.9 + ~1.1 ms per LOCKSTEP
+    outer at 209x768 (docs/DESIGN.md round-3 batched budget); here a
+    converged pair costs nothing and there are no inter-phase launches.
+    """
+    b, nq, _ = src.shape
+    m = dst.shape[1]
+    n_pad = -(-nq // _LANES) * _LANES
+    m_pad = -(-m // _LANES) * _LANES
+    n_qc = n_pad // _LANES
+    # query layout rows per pair, padded to the 8-sublane block unit
+    n_rows = -(-n_qc // 8) * 8
+
+    src = jnp.pad(src, ((0, 0), (0, n_pad - nq), (0, 0)))
+    sm = jnp.pad(src_mask.astype(jnp.float32), ((0, 0), (0, n_pad - nq)))
+    sentinel = jnp.asarray(_NN_SENTINEL, dst.dtype)
+    dstm = jnp.where(dst_mask[..., None], dst, sentinel)
+    dstm = jnp.pad(dstm, ((0, 0), (0, m_pad - m), (0, 0)),
+                   constant_values=_NN_SENTINEL)
+
+    def rows(v):  # (B, n_pad) -> (B * n_rows, 128), zero row padding
+        v = v.reshape(b, n_qc, _LANES)
+        v = jnp.pad(v, ((0, 0), (0, n_rows - n_qc), (0, 0)))
+        return v.reshape(b * n_rows, _LANES)
+
+    sx = rows(src[..., 0])
+    sy = rows(src[..., 1])
+    mf = rows(sm)
+    dxc = dstm[..., 0].reshape(b * m_pad, 1)
+    dyc = dstm[..., 1].reshape(b * m_pad, 1)
+    # SMEM blocks need 8-row granularity (compiled-Mosaic block rule):
+    # one 8x8 SMEM tile per pair, row 0 carrying the 6 transform scalars.
+    params = jnp.concatenate(
+        [rot0.reshape(b, 4), t0.reshape(b, 2),
+         jnp.zeros((b, 2), rot0.dtype)], axis=-1
+    ).astype(jnp.float32)
+    params = jnp.pad(params[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    params = params.reshape(b * 8, 8)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _icp2d_frame_pairs_kernel, huber_k=float(huber_k),
+            det_rel_eps=float(det_rel_eps), tol_d2=float(tol_d2),
+            inner_max_iter=int(inner_max_iter),
+            outer_iters=int(outer_iters),
+            point_scale=float(point_scale), n_qc=n_qc,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((8, 8), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_rows, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 8), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b * 8, 8), jnp.float32),
+        interpret=interpret,
+    )(params, sx, sy, mf, dxc, dyc)
+    out = out.reshape(b, 8, 8)[:, 0, :]
+    rot = jnp.stack([
+        jnp.stack([out[:, 0], out[:, 1]], axis=-1),
+        jnp.stack([out[:, 2], out[:, 3]], axis=-1),
+    ], axis=-2)
+    t = out[:, 4:6]
+    return rot, t, out[:, 6].astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

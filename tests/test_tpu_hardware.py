@@ -580,3 +580,53 @@ def test_db_pack_bit_identical_on_device():
     # the dispatch-level builder gates + threads through identically
     assert build_db_pack(query, db, mask, payload=pay, backend="pallas",
                          tile=2048) is not None
+
+
+def test_frame_kernel_on_device():
+    """Whole-frame fused 2D ICP kernel (one launch per Icp2d::estimate
+    call) vs the unfused pallas driver, compiled Mosaic, warm-started."""
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.geometry.transform2d import RigidTransform2
+    from icp_rust_tpu.models.icp2d import icp2d
+
+    rng = np.random.default_rng(21)
+    n, m, pad = 600, 640, 768
+    src = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    th = 0.3
+    rot = np.array([[np.cos(th), -np.sin(th)],
+                    [np.sin(th), np.cos(th)]], np.float32)
+    dst = (src @ rot.T + np.array([0.4, 0.2], np.float32))
+    dst = dst[rng.permutation(n)][:m]
+
+    def pad2(a):
+        out = np.zeros((pad, 2), np.float32)
+        out[: len(a)] = a
+        msk = np.zeros(pad, bool)
+        msk[: len(a)] = True
+        return jnp.asarray(out), jnp.asarray(msk)
+
+    sp, sm = pad2(src)
+    dp, dm = pad2(dst)
+    wth = 0.25
+    warm = RigidTransform2(
+        rot=jnp.asarray([[np.cos(wth), -np.sin(wth)],
+                         [np.sin(wth), np.cos(wth)]], F32),
+        t=jnp.asarray([0.35, 0.15], F32),
+    )
+    cfg_frame = ICPConfig(compute_dtype=F32, det_rel_eps=1e-9,
+                          frame_backend="auto")
+    cfg_off = cfg_frame.with_(frame_backend="off")
+    tf = icp2d(sp, dp, sm, dm, warm, cfg_frame)
+    tu = icp2d(sp, dp, sm, dm, warm, cfg_off)
+    np.testing.assert_allclose(np.asarray(tf.rot), np.asarray(tu.rot),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(tf.t), np.asarray(tu.t),
+                               atol=5e-5)
+    # recovers the synthetic motion
+    np.testing.assert_allclose(np.asarray(tf.rot), rot, atol=5e-3)
+    # perfect fit: warm identity start returns exactly identity
+    ti = icp2d(sp, sp, sm, sm,
+               RigidTransform2.identity(dtype=F32), cfg_frame)
+    np.testing.assert_array_equal(np.asarray(ti.rot),
+                                  np.eye(2, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(ti.t), np.zeros(2, np.float32))
