@@ -93,7 +93,13 @@ class ICPConfig:
     # Differs from the unfused pallas path at f32 roundoff only; the
     # align_backend="xla" parity path is unaffected.
     frame_backend: str = "auto"
-    frame_kernel_max: int = 2048
+    # Largest padded scan the whole-frame kernels accept.  Measured on
+    # v5e compiled Mosaic: BOTH variants compile and validate at 1536
+    # (tests/test_tpu_hardware.py exercises exactly this size); 2048
+    # fails Mosaic compilation — the lane-padded (M, 1) VMEM columns
+    # plus the unrolled (M, 128) distance blocks exceed the 16 MB
+    # compile-time VMEM budget (advisor r4).
+    frame_kernel_max: int = 1536
 
     def with_(self, **kwargs) -> "ICPConfig":
         return dataclasses.replace(self, **kwargs)

@@ -128,6 +128,22 @@ def presort_src(src, src_mask, dst, config: ICPConfig):
     return src, src_mask, True
 
 
+def _broadcast_db(src, dst, dst_mask):
+    """Broadcast a shared db to a batched src's batch shape.
+
+    ``icp2d(src=(B, N, D), dst=(M, D))`` means "match every scan in the
+    batch against the same map" — every downstream path (spatial sort,
+    pack, frame kernels) expects src and dst to carry the same batch
+    rank, so materialize the shared db per lane here (scans are small in
+    this regime; the batched drivers pass per-pair dbs and skip this)."""
+    if dst.ndim >= src.ndim:
+        return dst, dst_mask
+    batch = src.shape[:src.ndim - dst.ndim]
+    dst = jnp.broadcast_to(dst, batch + dst.shape)
+    dst_mask = jnp.broadcast_to(dst_mask, batch + dst_mask.shape)
+    return dst, dst_mask
+
+
 def _use_frame_kernel(src, dst, config: ICPConfig,
                       return_stats: bool):
     """Gate for the whole-frame fused kernels (config.frame_backend):
@@ -140,6 +156,8 @@ def _use_frame_kernel(src, dst, config: ICPConfig,
         return None
     if not (src.ndim in (2, 3) and src.shape[-1] == 2
             and src.dtype == jnp.float32
+            and dst.ndim == src.ndim
+            and (src.ndim == 2 or dst.shape[0] == src.shape[0])
             and src.shape[-2] <= config.frame_kernel_max
             and dst.shape[-2] <= config.frame_kernel_max):
         return None
@@ -298,6 +316,7 @@ def icp2d(
     t0 = _scale_transform(
         initial_transform.astype(config.compute_dtype), s
     )
+    dst, dst_mask = _broadcast_db(src, dst, dst_mask)
     frame_kind = _use_frame_kernel(src, dst, config, return_stats)
     if frame_kind:
         # Whole frame in ONE kernel launch (small-scan fast path): the
@@ -401,6 +420,7 @@ def icp3d_planar(
     t0 = _scale_transform(
         initial_transform.astype(config.compute_dtype), s
     )
+    dst, dst_mask = _broadcast_db(src, dst, dst_mask)
     sort = _sort_enabled(src, dst, config)
     if sort:
         if not src_presorted:

@@ -25,12 +25,21 @@ CFG_XLA = ICPConfig(frame_backend="off", align_backend="xla",
                     det_rel_eps=1e-9)
 
 
-def _pair(seed=0, n=600, m=640, pad=768, theta=0.05, t=(0.1, -0.05)):
+def _pair(seed=0, n=600, m=560, pad=768, theta=0.05, t=(0.1, -0.05)):
+    # m != n by default (m < n subsamples; m > n appends fresh points) so
+    # the kernels actually see unequal src/dst valid counts (the old
+    # m=640 silently sliced a 600-row array back to 600).
     rng = np.random.default_rng(seed)
     src = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
     c, s = np.cos(theta), np.sin(theta)
     rot = np.array([[c, -s], [s, c]], np.float32)
-    dst = (src @ rot.T + np.asarray(t, np.float32))[rng.permutation(n)][:m]
+    full = src
+    if m > n:
+        extra = rng.uniform(-3, 3, (m - n, 2)).astype(np.float32)
+        full = np.concatenate([src, extra])
+    dst = (full @ rot.T + np.asarray(t, np.float32))
+    dst = dst[rng.permutation(len(dst))][:m]
+    assert len(dst) == m
     return _pad(src, pad) + _pad(dst, pad) + (rot, np.asarray(t))
 
 
@@ -156,6 +165,34 @@ def test_frame_kernel_pairs_matches_lockstep_driver():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(tp.t), np.asarray(tx.t),
                                atol=1e-5)
+
+
+def test_shared_db_batched_src_broadcasts():
+    """A batched (B, N, 2) src against ONE shared (M, 2) db must work on
+    every dispatch path (advisor r4: the frame-kernel gate used to let
+    this reach the pairs kernel and die on a shape error).  Semantics:
+    identical to passing the db per lane."""
+    rng = np.random.default_rng(13)
+    db = rng.uniform(-3, 3, (560, 2)).astype(np.float32)
+    srcs = []
+    for b in range(3):
+        th = 0.02 * (b + 1)
+        c, s = np.cos(th), np.sin(th)
+        rot = np.array([[c, s], [-s, c]], np.float32)  # inverse motion
+        srcs.append(db[: 520 - 5 * b] @ rot.T + np.float32(0.03 * b))
+    sp = jnp.stack([_pad(s, 768)[0] for s in srcs])
+    sm = jnp.stack([_pad(s, 768)[1] for s in srcs])
+    dp, dm = _pad(db, 640)
+    t0 = RigidTransform2.identity((3,), jnp.float32)
+    dp3 = jnp.broadcast_to(dp, (3,) + dp.shape)
+    dm3 = jnp.broadcast_to(dm, (3,) + dm.shape)
+    for cfg in (CFG_FRAME, CFG_XLA):
+        t_shared = icp2d(sp, dp, sm, dm, t0, cfg)
+        t_tiled = icp2d(sp, dp3, sm, dm3, t0, cfg)
+        np.testing.assert_array_equal(np.asarray(t_shared.rot),
+                                      np.asarray(t_tiled.rot))
+        np.testing.assert_array_equal(np.asarray(t_shared.t),
+                                      np.asarray(t_tiled.t))
 
 
 def test_frame_kernel_pairs_degenerate_lane():

@@ -590,13 +590,16 @@ def test_frame_kernel_on_device():
     from icp_rust_tpu.models.icp2d import icp2d
 
     rng = np.random.default_rng(21)
-    n, m, pad = 600, 640, 768
+    # m < n: unequal valid counts must actually reach the kernel (the
+    # old m=640 sliced a 600-row array back to 600 — advisor r4).
+    n, m, pad = 600, 560, 768
     src = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
     th = 0.3
     rot = np.array([[np.cos(th), -np.sin(th)],
                     [np.sin(th), np.cos(th)]], np.float32)
     dst = (src @ rot.T + np.array([0.4, 0.2], np.float32))
     dst = dst[rng.permutation(n)][:m]
+    assert len(dst) == m
 
     def pad2(a):
         out = np.zeros((pad, 2), np.float32)
@@ -630,3 +633,46 @@ def test_frame_kernel_on_device():
     np.testing.assert_array_equal(np.asarray(ti.rot),
                                   np.eye(2, dtype=np.float32))
     np.testing.assert_array_equal(np.asarray(ti.t), np.zeros(2, np.float32))
+
+
+def test_frame_kernel_at_max_size_on_device():
+    """Compile + validate BOTH whole-frame kernels at pad ==
+    frame_kernel_max on compiled Mosaic: the auto gate admits scans up
+    to this size, so the cap must be a size Mosaic actually compiles
+    (advisor r4: the old 2048 default exceeded the 16 MB VMEM budget —
+    measured: 1536 compiles, 2048 does not)."""
+    from icp_rust_tpu.config import ICPConfig
+    from icp_rust_tpu.geometry.transform2d import RigidTransform2
+    from icp_rust_tpu.models.icp2d import icp2d
+
+    cfg = ICPConfig(compute_dtype=F32, det_rel_eps=1e-9,
+                    frame_backend="auto")
+    pad = cfg.frame_kernel_max
+    rng = np.random.default_rng(33)
+    n, m = pad - 66, pad - 130
+    src = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    th = 0.1
+    rot = np.array([[np.cos(th), -np.sin(th)],
+                    [np.sin(th), np.cos(th)]], np.float32)
+    dst = (src @ rot.T + np.array([0.1, -0.05], np.float32))
+    dst = dst[rng.permutation(n)][:m]
+
+    def pad2(a):
+        out = np.zeros((pad, 2), np.float32)
+        out[: len(a)] = a
+        msk = np.zeros(pad, bool)
+        msk[: len(a)] = True
+        return jnp.asarray(out), jnp.asarray(msk)
+
+    sp, sm = pad2(src)
+    dp, dm = pad2(dst)
+    t0 = RigidTransform2.identity(dtype=F32)
+    tf = icp2d(sp, dp, sm, dm, t0, cfg)
+    np.testing.assert_allclose(np.asarray(tf.rot), rot, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(tf.t), [0.1, -0.05], atol=5e-3)
+    # pair-grid variant at the same cap (one pair per grid step)
+    tb = icp2d(sp[None], dp[None], sm[None], dm[None],
+               RigidTransform2.identity((1,), F32),
+               cfg.with_(frame_backend="pairs"))
+    np.testing.assert_allclose(np.asarray(tb.rot[0]), rot, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(tb.t[0]), [0.1, -0.05], atol=5e-3)
