@@ -139,32 +139,38 @@ def icp_point_to_plane(
                             tile=config.nn_dst_tile,
                             method=config.nn_method)
 
-    def outer(t, aux):
-        prev_d2, prev_q = aux[0], aux[1]
-        src_t = t.apply_points(src)
-        # dist_prev + |Δq| bounds the new NN distance (db fixed across
-        # outer iterations) — seeds the prune threshold, bit-identical.
-        # 32-eps inflation keeps it an upper bound under f32 rounding.
-        move = jnp.linalg.norm(src_t - prev_q, axis=-1)
-        ulp = 1.0 + 32.0 * jnp.finfo(dtype).eps
-        qb = (jnp.sqrt(prev_d2) + move) ** 2 * ulp
-        res, pay = nearest_neighbor_matched(
-            src_t, dst, dst_mask, payload=payload,
-            backend=config.nn_backend, tile=config.nn_dst_tile,
-            method=config.nn_method, q_tile=config.nn_query_tile,
-            q_bound=qb, db_pack=db_pack,
-        )
-        matched_n, matched, matched_ok = decode_p2l_payload(
-            pay, res.dist_sq
-        )
-        pair_mask = src_mask & matched_ok
-        dt = align3d.estimate_transform_p2l(
-            src_t, matched, matched_n, pair_mask, config
-        )
-        aux_next = (res.dist_sq, src_t)
-        if return_stats:
-            aux_next = aux_next + (pay,)
-        return dt.compose(t), _is_identity(dt), aux_next
+    def make_outer(warm):
+        # Static cold/warm NN dispatch + iteration-1 peel — see icp2d.
+        def outer(t, aux):
+            prev_d2, prev_q = aux[0], aux[1]
+            src_t = t.apply_points(src)
+            # dist_prev + |Δq| bounds the new NN distance (db fixed
+            # across outer iterations) — seeds the prune threshold,
+            # bit-identical.  32-eps inflation keeps it an upper bound
+            # under f32 rounding.
+            move = jnp.linalg.norm(src_t - prev_q, axis=-1)
+            ulp = 1.0 + 32.0 * jnp.finfo(dtype).eps
+            qb = (jnp.sqrt(prev_d2) + move) ** 2 * ulp
+            res, pay = nearest_neighbor_matched(
+                src_t, dst, dst_mask, payload=payload,
+                backend=config.nn_backend, tile=config.nn_dst_tile,
+                method=config.nn_method, q_tile=config.nn_query_tile,
+                q_bound=qb, db_pack=db_pack, warm=warm,
+            )
+            matched_n, matched, matched_ok = decode_p2l_payload(
+                pay, res.dist_sq
+            )
+            pair_mask = src_mask & matched_ok
+            dt = align3d.estimate_transform_p2l(
+                src_t, matched, matched_n, pair_mask, config
+            )
+            aux_next = (res.dist_sq, src_t)
+            if return_stats:
+                aux_next = aux_next + (pay,)
+            return dt.compose(t), _is_identity(dt), aux_next
+        return outer
+
+    outer, outer_cold = make_outer(True), make_outer(False)
 
     # Exact fixed-point early exit, shared with the 2D drivers.
     aux0 = (jnp.full(src.shape[:-1], jnp.inf, dtype), src)
@@ -179,7 +185,8 @@ def icp_point_to_plane(
         # (VERDICT r2 weak #6).
         aux0 = aux0 + (jnp.zeros((*src.shape[:-1], 4), dtype),)
         t, it, aux = _outer_fixed_point(
-            outer, t0, config.outer_iters, aux0, return_aux=True
+            outer, t0, config.outer_iters, aux0, return_aux=True,
+            first_step=outer_cold,
         )
         dist_sq, src_t, pay = aux
         matched_n, matched, matched_ok = decode_p2l_payload(pay, dist_sq)
@@ -202,5 +209,6 @@ def icp_point_to_plane(
             ) / nf,
         )
         return RigidTransform3(t.rot, t.t * s), stats
-    t, it = _outer_fixed_point(outer, t0, config.outer_iters, aux0)
+    t, it = _outer_fixed_point(outer, t0, config.outer_iters, aux0,
+                               first_step=outer_cold)
     return RigidTransform3(t.rot, t.t * s)

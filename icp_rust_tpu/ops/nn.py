@@ -326,11 +326,17 @@ def nearest_neighbor_matched(
     q_tile: int = 512,
     q_bound: Array | None = None,
     db_pack=None,
+    warm: bool | None = None,
 ):
     """1-NN that also returns the winner's payload (default: the matched
     db point), replacing the caller's post-hoc take_along_axis gather —
     TPU dynamic gathers at 28k rows cost as much as the pruned distance
-    sweep itself.  Returns (NNResult, matched (..., Q, P))."""
+    sweep itself.  Returns (NNResult, matched (..., Q, P)).
+
+    ``warm`` statically selects the seeded Pallas path's cold/warm
+    branch (True = survivor-list only, False = cold-seed only, None =
+    runtime cond); exactness never depends on it — see
+    nn_pallas._nn_seeded_2d.  Ignored by the XLA and pair-grid paths."""
     if query.ndim == 3 and use_pairs_nn(query, db, backend, method):
         # Pair-grid batched kernel: one pallas_call for MANY small pairs
         # (multi-pair ICP) — on "auto" this is the TPU default for a
@@ -351,7 +357,7 @@ def nearest_neighbor_matched(
 
         return nn_pallas.nn_pallas_matched(
             query, db, db_mask, payload=payload, q_tile=q_tile,
-            db_tile=tile, q_bound=q_bound, db_pack=db_pack,
+            db_tile=tile, q_bound=q_bound, db_pack=db_pack, warm=warm,
         )
     res = nn_xla(query, db, db_mask, tile=tile, method=method)
     if payload is None:

@@ -298,6 +298,7 @@ def nn_pallas_matched(
     prune: bool = True,
     q_bound: Array | None = None,
     db_pack: "PackedDB | None" = None,
+    warm: bool | None = None,
 ):
     """Exact 1-NN returning (NNResult, matched_payload (..., Q, P)).
 
@@ -351,7 +352,7 @@ def nn_pallas_matched(
             dist, idx, pay = _nn_seeded_2d(
                 query_p, dbf_cm, db_sl, cbox, qb_p, d_dim=d_dim,
                 q_tile=q_tile, db_tile=db_tile, interpret=interpret,
-                cold_seed=_cold_seed_mode(),
+                cold_seed=_cold_seed_mode(), warm=warm,
             )
         else:
             fn = functools.partial(
@@ -1063,7 +1064,7 @@ def pack_db(
 @functools.partial(
     jax.jit,
     static_argnames=("d_dim", "q_tile", "db_tile", "interpret",
-                     "cold_seed"),
+                     "cold_seed", "warm"),
 )
 def _nn_seeded_2d(
     query_p: Array,
@@ -1076,6 +1077,7 @@ def _nn_seeded_2d(
     db_tile: int = 512,
     interpret: bool = False,
     cold_seed: str = "1",
+    warm: bool | None = None,
 ):
     """Warmth-dispatched pruned NN: iterations with finite seeds take the
     survivor-list kernel directly; iteration 1 (+inf bounds) first buys
@@ -1083,14 +1085,22 @@ def _nn_seeded_2d(
     ICP_NN_COLD_SEED=0, takes the round-2 zig-zag carry-pruned kernel).
     Same contract/outputs as _nn_pruned_2d, bit-identical across the
     dispatch.  db_sl/cbox come from :func:`_seeded_prep` — hoisted to
-    once per frame when the caller passes a PackedDB."""
+    once per frame when the caller passes a PackedDB.
+
+    ``warm`` makes the dispatch STATIC: True traces only the survivor-
+    list path, False only the cold path, None keeps the runtime
+    lax.cond.  Drivers that peel ICP iteration 1 out of their outer
+    while loop pass False for it and True for the loop body — the
+    round-5 device trace priced the in-loop conditional at ~0.04 ms
+    per outer iteration (branch materialization + boundary copies).
+    Exactness does not depend on the flag: the list path with +inf
+    bounds degrades to the full in-kernel sweep (cnt > cap fallback),
+    so a "wrong" static flag costs speed, never correctness."""
     f_total, m_pad = dbf_cm.shape
     f_dim = f_total - d_dim
     n_chunks = m_pad // 128
     n_q = query_p.shape[0] // q_tile
     cap = min(_LIST_CAP, n_chunks)
-
-    warm = jnp.any(jnp.isfinite(q_bound))
 
     def _list_path(qb):
         # Survivor test per query GROUP (q_tile // _LIST_GROUPS
@@ -1147,6 +1157,8 @@ def _nn_seeded_2d(
         qb_cb = _center_bound(query_p, cbox, d_dim)
         return _list_path(jnp.minimum(q_bound, qb_cb))
 
+    if warm is True:
+        return warm_fn(None)
     if cold_seed != "0":
         def cold_fn(_):
             # The pre-pass stays INSIDE the cold branch: outside the
@@ -1171,7 +1183,10 @@ def _nn_seeded_2d(
                 db_tile=db_tile, interpret=interpret,
             )
 
-    return jax.lax.cond(warm, warm_fn, cold_fn, None)
+    if warm is False:
+        return cold_fn(None)
+    return jax.lax.cond(jnp.any(jnp.isfinite(q_bound)), warm_fn, cold_fn,
+                        None)
 
 
 # --------------------------------------------------------------------------
