@@ -91,6 +91,7 @@ def run_submap_odometry(
     checkpoint=None,
     resume: bool = False,
     warm_start: str = "prev",
+    view_rows: int | None = None,
 ):
     """frames: (F, N, D) padded; masks: (F, N).  Frame 0 seeds the map.
     Returns (transforms scan->map per frame, trajectory (F-1, 2) of sensor
@@ -103,6 +104,11 @@ def run_submap_odometry(
     to the return.  ``warm_start``: "prev" (default, stable) or "cv"
     (constant-velocity extrapolation — measurably UNSTABLE against the
     self-built map on long sequences; see :func:`_make_step`).
+    ``view_rows``: match against only the first view_rows rows of the
+    Morton-sorted map view — exact while occupancy stays below it
+    (empty slots sort last); overflow is counted and warned, never
+    silent.  Callers sizing ``capacity`` at ~2x occupancy for probe
+    headroom use this to keep the NN db at occupancy scale.
 
     Observability/resume (fused only — the 2D odometry path's surface,
     VERDICT r2 checkpoint-partial closed): ``metrics`` takes a
@@ -127,10 +133,11 @@ def run_submap_odometry(
             return _run_fused_segmented(
                 frames, masks, config, voxel_size, capacity, probes,
                 with_metrics, resort_every, metrics, checkpoint, resume,
-                warm_start,
+                warm_start, view_rows,
             )
         return _run_fused(frames, masks, config, voxel_size, capacity,
-                          probes, with_metrics, resort_every, warm_start)
+                          probes, with_metrics, resort_every, warm_start,
+                          view_rows)
     if metrics is not None or checkpoint is not None or resume:
         raise ValueError("metrics/checkpoint/resume require the fused "
                          "runner")
@@ -185,7 +192,7 @@ def _morton_sort_queries(pts, msk):
 
 def _make_step(config: ICPConfig, voxel_size: float, probes: int,
                with_stats: bool, resort_every: int, dim: int,
-               warm_start: str = "prev"):
+               warm_start: str = "prev", view_rows: int | None = None):
     """The per-frame scan body, shared by the whole-sequence program
     (:func:`_fused_scan`) and the segmented checkpointable program
     (:func:`_fused_segment`).  carry = (t, rel, map, order).
@@ -244,8 +251,27 @@ def _make_step(config: ICPConfig, voxel_size: float, probes: int,
         order = jax.lax.cond(
             i % resort_every == 0, _resort, lambda _: order, None
         )
-        map_pts = map_pts[order]
-        map_mask = map_mask[order]
+        # ``view_rows``: match against only the first view_rows rows of
+        # the sorted view.  The Morton order puts every OCCUPIED cell
+        # before every empty slot (masked -> max code), so with
+        # resort_every=1 this is EXACT whenever occupancy <= view_rows —
+        # the sliced-away tail is all-empty.  Benchmarks size capacity
+        # ~2x occupancy for hash-probe headroom; without the slice the
+        # NN db carries that 2x as pure sentinel rows (~60% of the NN
+        # sweep + a full-capacity gather per frame).  Cells beyond the
+        # view (occupancy overflow, or a stale order's unsorted tail)
+        # are counted per frame in ``hidden`` and surface in the
+        # runner's drop warning — never silent.
+        hidden = jnp.int32(0)
+        if view_rows is not None and view_rows < map_mask.shape[0]:
+            n_occ = jnp.sum(map_mask.astype(jnp.int32))
+            view = order[:view_rows]
+            map_pts = map_pts[view]
+            map_mask = map_mask[view]
+            hidden = n_occ - jnp.sum(map_mask.astype(jnp.int32))
+        else:
+            map_pts = map_pts[order]
+            map_mask = map_mask[order]
         if with_stats:
             t_new, stats = driver(scan, map_pts, smask, map_mask, t_warm,
                                   config, return_stats=True)
@@ -262,7 +288,7 @@ def _make_step(config: ICPConfig, voxel_size: float, probes: int,
         # spatial hole in the rolling map).
         m, d = vh.insert(m, scan_in_map, smask, voxel_size, probes,
                          salt=i)
-        out = (t_new.rot, t_new.t, d)
+        out = (t_new.rot, t_new.t, d, hidden)
         if with_stats:
             out = out + (stats,)
         return (t_new, rel_new, m, order), out
@@ -273,11 +299,13 @@ def _make_step(config: ICPConfig, voxel_size: float, probes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "voxel_size", "capacity", "probes",
-                     "with_metrics", "resort_every", "warm_start"),
+                     "with_metrics", "resort_every", "warm_start",
+                     "view_rows"),
 )
 def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
                 capacity: int, probes: int, with_metrics: bool = False,
-                resort_every: int = 1, warm_start: str = "prev"):
+                resort_every: int = 1, warm_start: str = "prev",
+                view_rows: int | None = None):
     """Module-level jit (NOT a per-call closure: retracing+relowering this
     program costs ~9 s per call — it dwarfed the device time until the
     cache was made shared)."""
@@ -290,7 +318,7 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
 
     pts, msk = _morton_sort_queries(pts, msk)
     step = _make_step(config, voxel_size, probes, with_metrics,
-                      resort_every, dim, warm_start)
+                      resort_every, dim, warm_start, view_rows)
 
     rel0 = RigidTransform2.identity(dtype=dtype)
     order0 = jnp.arange(capacity, dtype=jnp.int32)
@@ -299,21 +327,23 @@ def _fused_scan(pts, msk, config: ICPConfig, voxel_size: float,
         step, (t0, rel0, m, order0), (idx, pts[1:], msk[1:])
     )
     if with_metrics:
-        rots, ts, drops, stats = outs
-        return rots, ts, jnp.concatenate([d0[None], drops]), stats
-    rots, ts, drops = outs
-    return rots, ts, jnp.concatenate([d0[None], drops])
+        rots, ts, drops, hidden, stats = outs
+        return (rots, ts, jnp.concatenate([d0[None], drops]), hidden,
+                stats)
+    rots, ts, drops, hidden = outs
+    return rots, ts, jnp.concatenate([d0[None], drops]), hidden
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "voxel_size", "probes", "with_stats",
-                     "resort_every", "warm_start"),
+                     "resort_every", "warm_start", "view_rows"),
 )
 def _fused_segment(t, rel, m, order, idx0, pts_seg, msk_seg,
                    config: ICPConfig, voxel_size: float, probes: int,
                    with_stats: bool, resort_every: int,
-                   warm_start: str = "prev"):
+                   warm_start: str = "prev",
+                   view_rows: int | None = None):
     """One checkpointable SEGMENT of the fused submap scan: same step
     body as :func:`_fused_scan`, but the carry (current transform,
     constant-velocity relative motion, hash map, map view order) enters
@@ -323,7 +353,8 @@ def _fused_segment(t, rel, m, order, idx0, pts_seg, msk_seg,
     every full-length segment shares one compilation)."""
     pts_seg, msk_seg = _morton_sort_queries(pts_seg, msk_seg)
     step = _make_step(config, voxel_size, probes, with_stats,
-                      resort_every, pts_seg.shape[-1], warm_start)
+                      resort_every, pts_seg.shape[-1], warm_start,
+                      view_rows)
     idx = idx0 + jnp.arange(pts_seg.shape[0], dtype=jnp.int32)
     carry, outs = jax.lax.scan(
         step, (t, rel, m, order), (idx, pts_seg, msk_seg)
@@ -332,7 +363,8 @@ def _fused_segment(t, rel, m, order, idx0, pts_seg, msk_seg,
 
 
 def _run_fused(frames, masks, config, voxel_size, capacity, probes,
-               with_metrics=False, resort_every=4, warm_start="prev"):
+               with_metrics=False, resort_every=4, warm_start="prev",
+               view_rows=None):
     dtype = config.compute_dtype
     pts = jnp.asarray(frames, dtype)
     msk = jnp.asarray(masks)
@@ -344,14 +376,16 @@ def _run_fused(frames, masks, config, voxel_size, capacity, probes,
     cfg = dataclasses.replace(config, nn_sort="none")
     out = _fused_scan(pts, msk, cfg, float(voxel_size),
                       int(capacity), int(probes), bool(with_metrics),
-                      int(resort_every), str(warm_start))
+                      int(resort_every), str(warm_start),
+                      None if view_rows is None else int(view_rows))
     stats = None
     if with_metrics:
-        rots, ts, drops, stats = out
+        rots, ts, drops, hidden, stats = out
     else:
-        rots, ts, drops = out
+        rots, ts, drops, hidden = out
     rots_np, ts_np = np.asarray(rots), np.asarray(ts)
     _warn_drops(int(np.asarray(drops).sum()))
+    _warn_hidden(int(np.asarray(hidden).sum()))
     transforms = [
         RigidTransform2(jnp.asarray(rots_np[i]), jnp.asarray(ts_np[i]))
         for i in range(len(ts_np))
@@ -376,9 +410,25 @@ def _warn_drops(n_dropped: int):
     )
 
 
+def _warn_hidden(n_hidden: int):
+    if not n_hidden:
+        return
+    import warnings
+
+    warnings.warn(
+        f"submap view_rows hid {n_hidden} occupied-cell observations "
+        f"from matching across the sequence (occupancy exceeded "
+        f"view_rows, or a stale resort order) — grow `view_rows` or "
+        f"resort every frame",
+        RuntimeWarning,
+        stacklevel=4,
+    )
+
+
 def _run_fused_segmented(frames, masks, config, voxel_size, capacity,
                          probes, with_metrics, resort_every, metrics,
-                         checkpoint, resume, warm_start="prev"):
+                         checkpoint, resume, warm_start="prev",
+                         view_rows=None):
     """Fused submap odometry in checkpointable segments (see
     :func:`run_submap_odometry`).  Per-frame math is identical to
     :func:`_fused_scan` — the same scan step runs on the same carried
@@ -416,6 +466,7 @@ def _run_fused_segmented(frames, masks, config, voxel_size, capacity,
         rots_np = list(state["rots"])
         ts_np = list(state["ts"])
         n_dropped = int(state["n_dropped"])
+        n_hidden = int(state.get("n_hidden", 0))
     else:
         origin = vh.origin_for(pts[0], msk[0], vsz)
         m = vh.make_map(cap, dim, origin, dtype)
@@ -425,6 +476,7 @@ def _run_fused_segmented(frames, masks, config, voxel_size, capacity,
         order = jnp.arange(cap, dtype=jnp.int32)
         rots_np, ts_np = [], []
         n_dropped = int(np.asarray(d0))
+        n_hidden = 0
 
     stats_chunks = []
     i = start
@@ -436,15 +488,17 @@ def _run_fused_segmented(frames, masks, config, voxel_size, capacity,
             t, rel, m, order, jnp.int32(i - 1), pts[i:j], msk[i:j],
             cfg, vsz, prb, with_stats, int(resort_every),
             str(warm_start),
+            None if view_rows is None else int(view_rows),
         )
         if with_stats:
-            rots, ts, drops, stats = outs
+            rots, ts, drops, hidden, stats = outs
             stats_chunks.append(jax.tree.map(np.asarray, stats))
         else:
-            rots, ts, drops = outs
+            rots, ts, drops, hidden = outs
         rots_np.extend(np.asarray(rots))
         ts_np.extend(np.asarray(ts))
         n_dropped += int(np.asarray(drops).sum())
+        n_hidden += int(np.asarray(hidden).sum())
         if metrics is not None:
             seg_dt = (_time.perf_counter() - seg_t0) / (j - i)
             for k in range(j - i):
@@ -462,11 +516,12 @@ def _run_fused_segmented(frames, masks, config, voxel_size, capacity,
                 "map_key": m.key, "map_psum": m.psum, "map_cnt": m.cnt,
                 "map_origin": m.origin, "order": order,
                 "rots": np.stack(rots_np), "ts": np.stack(ts_np),
-                "n_dropped": n_dropped,
+                "n_dropped": n_dropped, "n_hidden": n_hidden,
             })
         i = j
 
     _warn_drops(n_dropped)
+    _warn_hidden(n_hidden)
     ts_arr = np.stack(ts_np) if ts_np else np.zeros((0, dim))
     transforms = [
         RigidTransform2(jnp.asarray(rots_np[k]), jnp.asarray(ts_np[k]))

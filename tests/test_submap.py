@@ -85,3 +85,33 @@ def test_submap_odometry_tracks_ground_truth():
     gt = (poses[1:, :2] - poses[0, :2]) @ np.array([[c, -s], [s, c]])
     err = np.linalg.norm(path - gt, axis=1)
     assert err.max() < 0.02, err
+
+
+def test_submap_view_rows_exact_while_occupancy_fits():
+    """view_rows slices the Morton-sorted map view to its occupied
+    prefix: while occupancy <= view_rows the sliced-away tail is all
+    empty slots, so the trajectory must be BIT-identical to the full
+    view (and no hidden-cells warning fires)."""
+    import warnings
+
+    frames, _ = _synthetic_2d_sequence()
+    pts = np.stack(frames)
+    masks = np.ones(pts.shape[:2], bool)
+    cfg = REFERENCE_CONFIG
+    _, path_full = run_submap_odometry(
+        pts, masks, cfg, voxel_size=0.03, capacity=4096
+    )
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        _, path_view = run_submap_odometry(
+            pts, masks, cfg, voxel_size=0.03, capacity=4096,
+            view_rows=2048,
+        )
+    assert not any("hid" in str(w.message) for w in wlist), wlist
+    np.testing.assert_array_equal(path_full, path_view)
+    # A view too small for the occupancy must WARN (never silent).
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        run_submap_odometry(pts, masks, cfg, voxel_size=0.03,
+                            capacity=4096, view_rows=128)
+    assert any("hid" in str(w.message) for w in wlist)
