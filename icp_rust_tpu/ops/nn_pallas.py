@@ -331,6 +331,11 @@ def nn_pallas_matched(
 
     if prune and m_pad // db_tile < 3:
         prune = False
+    # Vmapped pruned kernels don't lower on compiled Mosaic (see
+    # nn_pallas): batched compiled calls take the plain sweep; batched
+    # small-pair callers should use nn_pallas_matched_pairs.
+    if prune and batch and not interpret:
+        prune = False
     if prune:
         if q_bound is None:
             qb_p = jnp.full(query_p.shape[:-1], jnp.inf, query.dtype)
@@ -674,6 +679,15 @@ def nn_pallas(
     # the bound only settles after it); skip the bbox/SMEM overhead.
     if prune and m_pad // db_tile < 3:
         prune = False
+    # Vmapped pruned kernels don't lower on compiled Mosaic: the batch
+    # dim turns the per-tile SMEM row windows into (Squeezed, k) block
+    # shapes that violate the (8, 128)-divisibility rule (interpret
+    # mode accepts them — CPU tests keep the vmapped pruned path).
+    # Batched compiled calls fall back to the plain sweep; batched
+    # SMALL-pair callers should use the pair-grid kernel
+    # (nn_pallas_matched_pairs) instead.
+    if prune and batch and not interpret:
+        prune = False
     if prune:
         if q_bound is None:
             qb_p = jnp.full(query_p.shape[:-1], jnp.inf, query.dtype)
@@ -748,7 +762,7 @@ def nn_pallas(
 # --------------------------------------------------------------------------
 
 _LIST_CAP = 48
-_LIST_UNROLL = 4
+_LIST_UNROLL = int(os.environ.get("ICP_NN_LIST_UNROLL", "4"))
 # Query groups per tile for the survivor bound test (q_tile must divide
 # evenly); 1 restores the whole-tile test for A/B runs.
 _LIST_GROUPS = int(os.environ.get("ICP_NN_LIST_GROUPS", "4"))
