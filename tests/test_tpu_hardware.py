@@ -635,6 +635,39 @@ def test_frame_kernel_on_device():
     np.testing.assert_array_equal(np.asarray(ti.t), np.zeros(2, np.float32))
 
 
+def test_batched_matched_nn_on_device_vmapped_fallback():
+    """Batched (vmapped) matched NN on compiled Mosaic: the pruned
+    kernels cannot lower under vmap (their per-tile SMEM row windows
+    become (Squeezed, k) block shapes Mosaic rejects), so the dispatch
+    must fall back to the plain vmapped sweep and stay exact — the
+    sharded dp/dp_sp paths hit exactly this on real hardware (round-5
+    gate; before it, bench_scaling crashed at mesh dp=1,sp=1)."""
+    from icp_rust_tpu.ops import nn_pallas as m
+
+    rng = np.random.default_rng(7)
+    B, N, M = 3, 512, 2048
+    q = jnp.asarray(rng.uniform(-3, 3, (B, N, 2)), F32)
+    db_np = rng.uniform(-3, 3, (B, M, 2)).astype(np.float32)
+    dm_np = np.ones((B, M), bool)
+    dm_np[:, M - 70:] = False  # masked db tail must be invisible
+    db = jnp.asarray(db_np)
+    dm = jnp.asarray(dm_np)
+    qb = jnp.full((B, N), jnp.inf, F32)  # seeded path, batched -> gate
+    res, pay = m.nn_pallas_matched(q, db, dm, q_tile=256, db_tile=512,
+                                   q_bound=qb)
+    d2 = ((np.asarray(q)[:, :, None, :] - db_np[:, None, :, :]) ** 2
+          ).sum(-1)
+    d2 = np.where(dm_np[:, None, :], d2, np.inf)
+    want_idx = d2.argmin(-1)
+    np.testing.assert_array_equal(np.asarray(res.index), want_idx)
+    np.testing.assert_allclose(np.asarray(res.dist_sq), d2.min(-1),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(pay),
+        np.take_along_axis(db_np, want_idx[..., None], axis=1),
+    )
+
+
 def test_frame_kernel_at_max_size_on_device():
     """Compile + validate BOTH whole-frame kernels at pad ==
     frame_kernel_max on compiled Mosaic: the auto gate admits scans up
