@@ -233,16 +233,26 @@ def estimate_normals_voxel(
 
     # scatter voxel normals back to the ORIGINAL point order; points in
     # voxels dropped by capacity (seg >= capacity) are INVALID, not
-    # silently mapped to another voxel's plane
+    # silently mapped to another voxel's plane.  Validity rides the
+    # normals as a 4th f32 lane so each step is ONE 4-lane gather —
+    # gathering the bool arrays separately cost 2x ~0.22 ms per 28.8k
+    # points on TPU (packed-pred gathers are the slowest kind; round-5
+    # device trace of the p2l bench).
     in_range = seg < capacity
     pt_seg_sorted = jnp.clip(seg, 0, capacity - 1)
-    pt_n_sorted = vox_n[pt_seg_sorted]
-    pt_ok_sorted = vox_ok[pt_seg_sorted] & svalid & in_range
+    packed = jnp.concatenate(
+        [vox_n, vox_ok.astype(dtype)[:, None]], axis=-1
+    )  # (capacity, 4)
+    pt_sorted = packed[pt_seg_sorted]  # (N, 4)
+    okf_sorted = (pt_sorted[:, 3:4]
+                  * (svalid & in_range).astype(dtype)[:, None])
+    pt_sorted = jnp.concatenate([pt_sorted[:, :3], okf_sorted], axis=-1)
     inv = jnp.zeros((n_pts,), jnp.int32).at[order].set(
         jnp.arange(n_pts, dtype=jnp.int32)
     )
-    normals = pt_n_sorted[inv]
-    valid = pt_ok_sorted[inv] & mask
+    out = pt_sorted[inv]  # (N, 4)
+    normals = out[:, :3]
+    valid = (out[:, 3] > 0.5) & mask
 
     if orient_to is None:
         orient_to = jnp.zeros(dim, dtype=dtype)
