@@ -263,15 +263,28 @@ def _make_step(config: ICPConfig, voxel_size: float, probes: int,
         # are counted per frame in ``hidden`` and surface in the
         # runner's drop warning — never silent.
         hidden = jnp.int32(0)
+        # With resort_every == 1 the order is fresh every frame, so ALL
+        # occupied cells precede ALL empty slots and the permuted mask
+        # is the prefix arange < n_occ — a packed-bool gather at map
+        # scale costs ~0.5 ms/frame on TPU (round-5 device trace).
+        fresh = resort_every == 1
+        n_occ = jnp.sum(map_mask.astype(jnp.int32))
         if view_rows is not None and view_rows < map_mask.shape[0]:
-            n_occ = jnp.sum(map_mask.astype(jnp.int32))
             view = order[:view_rows]
             map_pts = map_pts[view]
-            map_mask = map_mask[view]
+            if fresh:
+                map_mask = jnp.arange(view_rows, dtype=jnp.int32) < n_occ
+            else:
+                map_mask = map_mask[view]
             hidden = n_occ - jnp.sum(map_mask.astype(jnp.int32))
         else:
             map_pts = map_pts[order]
-            map_mask = map_mask[order]
+            if fresh:
+                map_mask = (
+                    jnp.arange(map_mask.shape[0], dtype=jnp.int32) < n_occ
+                )
+            else:
+                map_mask = map_mask[order]
         if with_stats:
             t_new, stats = driver(scan, map_pts, smask, map_mask, t_warm,
                                   config, return_stats=True)

@@ -157,7 +157,8 @@ def insert(
     n_rows = points.shape[0]
     if compact_to is None:
         compact_to = max(7168, n_rows // 2)
-    if probes > 1 and n_rows > compact_to:
+
+    def compact(keep, extra_salt):
         # Overflow selection must be spatially UNBIASED: the round-3
         # stable actives-first order kept the first compact_to actives
         # in the caller's (Morton-sorted) point order, so overflow
@@ -167,7 +168,10 @@ def insert(
         # frozen tracker).  Sorting actives by a salted per-cell hash
         # spreads the dropped set uniformly over space, and the salt
         # (frame index) rotates it per call so no cell starves.
-        scram = (cidu ^ (jnp.uint32(salt) * jnp.uint32(2654435761)))
+        nonlocal overflow, stp, slot, active
+        cu = cid_r[0].astype(jnp.uint32)
+        scram = (cu ^ (jnp.uint32(salt + extra_salt)
+                       * jnp.uint32(2654435761)))
         scram = (scram * jnp.uint32(2246822519)) >> jnp.uint32(5)
         big = jnp.int32(jnp.iinfo(jnp.int32).max)
         sort_key = jnp.where(
@@ -175,18 +179,36 @@ def insert(
             big,
         )
         order = jnp.argsort(sort_key, stable=True)
-        idx = order[:compact_to]
+        idx = order[:keep]
         kept_active = active[idx]
-        overflow = (
+        overflow = overflow + (
             jnp.sum(active.astype(jnp.int32))
             - jnp.sum(kept_active.astype(jnp.int32))
         )
-        cid_r[0] = cid[idx]
-        vals_r[0] = vals[idx]
+        cid_r[0] = cid_r[0][idx]
+        vals_r[0] = vals_r[0][idx]
         stp = stp[idx]
         slot = slot[idx]
         active = kept_active
-    for _ in range(probes - 1):
+
+    # Staged compaction: after round 1 the actives are points of cells
+    # displaced from their home slot (~a fraction of the scan); after
+    # round 3 only deep-probed cells and fresh collisions remain (a few
+    # hundred at healthy load), yet each probe round pays gathers +
+    # scatters proportional to the ROW count (~0.7 ms per round at
+    # 14400 rows — the round-5 device trace put the 8-round insert at
+    # ~5.5 ms/frame).  A second compaction keeps rounds 4+ at quarter
+    # width; overflow accounting is identical at both stages.
+    compact2 = max(2048, compact_to // 4)
+    n_r2 = n_rows
+    if probes > 1 and n_rows > compact_to:
+        compact(compact_to, 0)
+        n_r2 = compact_to
+    for r in range(probes - 1):
+        # Second stage after probe round 3 (r == 2), only when at least
+        # two narrower rounds remain to amortize the argsort.
+        if r == 2 and probes - 1 - r >= 2 and n_r2 > compact2:
+            compact(compact2, 1)
         key, acc, active = round_(key, acc, slot, active)
         slot = (slot + stp) & (capacity - 1)
 
