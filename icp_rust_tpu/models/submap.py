@@ -186,7 +186,11 @@ def _morton_sort_queries(pts, msk):
 
     qorder = spatial_order(pts, msk, "morton")
     pts = jnp.take_along_axis(pts, qorder[..., None], axis=-2)
-    msk = jnp.take_along_axis(msk, qorder, axis=-1)
+    # Masked points sort last (sentinel Morton code), so the permuted
+    # mask is a per-frame prefix — a packed-bool gather at (F, 28800)
+    # scale cost 7.2 ms in the round-5 device trace.
+    n_valid = jnp.sum(msk, axis=-1, keepdims=True, dtype=jnp.int32)
+    msk = jnp.arange(msk.shape[-1], dtype=jnp.int32)[None, :] < n_valid
     return pts, msk
 
 
