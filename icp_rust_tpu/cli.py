@@ -148,6 +148,7 @@ def cmd_odometry2d(args):
             capacity=args.map_capacity,
             metrics=log if args.metrics else None,
             checkpoint=ckpt, resume=args.resume,
+            warm_start=args.warm_start, view_rows=args.view_rows,
         )
     else:
         # Per-frame loop: JSONL metrics rows (device stats when --metrics
@@ -357,6 +358,14 @@ def main(argv=None):
     p2.add_argument("--submap", action="store_true")
     p2.add_argument("--voxel-size", type=float, default=30.0)
     p2.add_argument("--map-capacity", type=int, default=8192)
+    p2.add_argument("--warm-start", choices=("prev", "cv"),
+                    default="prev",
+                    help="submap warm start; cv is measurably unstable "
+                         "on long sequences (docs/DESIGN.md round-5)")
+    p2.add_argument("--view-rows", type=int, default=None,
+                    help="match against only the first N rows of the "
+                         "sorted map view (exact while occupancy fits; "
+                         "overflow warns)")
     common(p2)
     p2.set_defaults(fn=cmd_odometry2d)
 
