@@ -35,6 +35,17 @@ def _config(args):
         )
     import jax
 
+    if jax.default_backend() == "tpu":
+        # The f64 reference-parity config is the CPU path (TPU has no
+        # f64 vector hardware; the XLA f64 emulation of this program
+        # fails AOT compilation on v5e).  Fail with guidance instead of
+        # an opaque remote-compile error.
+        raise SystemExit(
+            "the f64 reference-parity config does not run on TPU; "
+            "pass --f32 (TPU-native) or run on CPU: "
+            "env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m "
+            "icp_rust_tpu.cli ..."
+        )
     jax.config.update("jax_enable_x64", True)
     return ICPConfig(compute_dtype=jnp.float64)
 

@@ -203,11 +203,29 @@ def spatial_order(points: Array, mask: Array | None = None,
     raise ValueError(f"unknown spatial sort method: {method!r}")
 
 
+def _compiled_mosaic_f64(query: Array) -> bool:
+    """True when this call would hit COMPILED Mosaic with f64 data —
+    an unsupported combination (TPU has no f64 vector unit; the
+    lowering dies in a convert-element-type recursion).  The f64
+    reference path belongs on the XLA sweep, which emulates f64
+    correctly; interpret-mode Pallas (CPU tests) keeps f64."""
+    if query.dtype != jnp.float64:
+        return False
+    try:
+        from icp_rust_tpu.ops import nn_pallas
+
+        return nn_pallas.available()
+    except ImportError:  # pragma: no cover
+        return True
+
+
 def use_pallas_nn(query: Array, db: Array, backend: str = "auto",
                   method: str = "direct") -> bool:
     """Trace-time resolution of the single-cloud NN backend dispatch
     (batched small-db MATCHED calls dispatch to the pair-grid kernel
     via use_pairs_nn before this gate is consulted)."""
+    if _compiled_mosaic_f64(query):
+        return False
     if backend == "pallas":
         return True
     if backend != "auto" or method != "direct":
@@ -233,6 +251,8 @@ def use_pairs_nn(query: Array, db: Array, backend: str = "auto",
     batched direct call (shared by nearest_neighbor_matched and the
     drivers' pre-sort decision so the two always agree)."""
     if query.ndim != 3:
+        return False
+    if _compiled_mosaic_f64(query):
         return False
     if backend == "pairs":
         return True
